@@ -1,0 +1,82 @@
+"""Amortization networks: conditioning vector h -> per-point flow parameters.
+
+Parity target: TriangularSylvesterNeRF, /root/reference/model/models.py:294-416.
+Per flow step, linear nets map h to a strictly-upper-triangular matrix
+(amor_d, shared between r1 and r2 as full_d and its transpose), two
+tanh-bounded diagonals (amor_diag1/2 — the -1 < diag(r1)*diag(r2) condition
+for invertibility), and a bias b.
+
+TPU-native differences from the reference:
+  * the reference's in-place diagonal writes (models.py:377-378) are replaced
+    by mask-based construction (jit-safe, no scatter);
+  * parameters are computed once per *point* and consumed with K as a
+    broadcast axis — the reference tiles h to (B*K, h) first
+    (models.py:255-256), materializing K copies in memory.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from cfnerf_tpu.utils.init import torch_linear_init
+
+
+class AmortizedTriangularSylvester(nn.Module):
+    """h (B, h_size) -> r1, r2 (B, Z, Z, F) upper-triangular with tanh
+    diagonals, and b (B, Z, F)."""
+
+    z_size: int
+    n_flows: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        Z, F = self.z_size, self.n_flows
+        kernel_init, bias_init = torch_linear_init()
+        dense = lambda feats, name: nn.Dense(
+            feats, name=name, kernel_init=kernel_init, bias_init=bias_init,
+            param_dtype=self.param_dtype, dtype=jnp.float32,
+        )
+
+        B = h.shape[0]
+        full_d = dense(F * Z * Z, "amor_d")(h).reshape(B, Z, Z, F)
+        diag1 = jnp.tanh(dense(F * Z, "amor_diag1")(h)).reshape(B, Z, F)
+        diag2 = jnp.tanh(dense(F * Z, "amor_diag2")(h)).reshape(B, Z, F)
+        b = dense(F * Z, "amor_b")(h).reshape(B, Z, F)
+
+        # Strictly-upper mask (diagonal=1), then place tanh-bounded diagonals.
+        triu = jnp.asarray(np.triu(np.ones((Z, Z), np.float32), k=1))[None, :, :, None]
+        eye = jnp.asarray(np.eye(Z, dtype=np.float32))[None, :, :, None]
+        r1 = full_d * triu + eye * diag1[:, :, None, :]
+        r2 = jnp.swapaxes(full_d, 1, 2) * triu + eye * diag2[:, :, None, :]
+        return r1, r2, b
+
+
+class AmortizedPlanar(nn.Module):
+    """h (B, h_size) -> u, w (B, Z, F) and b (B, F) for planar flow steps.
+
+    Exposed for the `type_flows=planar` option surface
+    (run_nerf_uncertainty_NF.py:614-616); the reference's NeRF_Flows only
+    wires the triangular family (models.py:66-67).
+    """
+
+    z_size: int
+    n_flows: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        Z, F = self.z_size, self.n_flows
+        kernel_init, bias_init = torch_linear_init()
+        dense = lambda feats, name: nn.Dense(
+            feats, name=name, kernel_init=kernel_init, bias_init=bias_init,
+            param_dtype=self.param_dtype, dtype=jnp.float32,
+        )
+        B = h.shape[0]
+        u = dense(F * Z, "amor_u")(h).reshape(B, Z, F)
+        w = dense(F * Z, "amor_w")(h).reshape(B, Z, F)
+        b = dense(F, "amor_b")(h)
+        return u, w, b

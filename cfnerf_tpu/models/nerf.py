@@ -1,0 +1,152 @@
+"""Baseline (non-flow) NeRF model family.
+
+Parity targets (paper baselines; present but not instantiated by the
+reference's create_nerf): vanilla NeRF /root/reference/run_nerf_helpers.py:76-163,
+MC-dropout NeRF_Dropout :165-226, learned-std NeRF_wild :228-284.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cfnerf_tpu.utils.init import torch_linear_init
+
+
+class _Trunk(nn.Module):
+    depth: int
+    width: int
+    input_ch: int
+    skips: Tuple[int, ...]
+    dropout_rate: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_pts, *, deterministic=True):
+        kernel_init, bias_init = torch_linear_init()
+        h = input_pts
+        for i in range(self.depth):
+            if self.dropout_rate > 0 and i % 2 == 0 and i > 0:
+                h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+            h = nn.Dense(
+                self.width, kernel_init=kernel_init, bias_init=bias_init,
+                dtype=self.compute_dtype, name=f"pts_linear_{i}",
+            )(h)
+            h = nn.relu(h)
+            if i in self.skips:
+                h = jnp.concatenate([input_pts, h], -1)
+        return h
+
+
+class NeRF(nn.Module):
+    """Vanilla NeRF: trunk -> (alpha head, feature+views -> rgb head)."""
+
+    depth: int = 8
+    width: int = 256
+    input_ch: int = 63
+    input_ch_views: int = 27
+    output_ch: int = 4
+    skips: Tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel_init, bias_init = torch_linear_init()
+        dense = lambda feats, name: nn.Dense(
+            feats, kernel_init=kernel_init, bias_init=bias_init,
+            dtype=self.compute_dtype, name=name,
+        )
+        input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
+        input_views = x[..., self.input_ch :].astype(self.compute_dtype)
+        h = _Trunk(self.depth, self.width, self.input_ch, self.skips,
+                   compute_dtype=self.compute_dtype, name="trunk")(input_pts)
+        if self.use_viewdirs:
+            alpha = dense(1, "alpha_linear")(h)
+            feature = dense(self.width, "feature_linear")(h)
+            hv = jnp.concatenate([feature, input_views], -1)
+            hv = nn.relu(dense(self.width // 2, "views_linear")(hv))
+            rgb = dense(3, "rgb_linear")(hv)
+            out = jnp.concatenate([rgb, alpha], -1)
+        else:
+            out = dense(self.output_ch, "output_linear")(h)
+        return out.astype(jnp.float32)
+
+
+class NeRFDropout(nn.Module):
+    """MC-dropout uncertainty baseline (dropout 0.2 on alternate trunk
+    layers and before each head)."""
+
+    depth: int = 8
+    width: int = 256
+    input_ch: int = 63
+    input_ch_views: int = 27
+    output_ch: int = 4
+    skips: Tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+    dropout_rate: float = 0.2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        kernel_init, bias_init = torch_linear_init()
+        dense = lambda feats, name: nn.Dense(
+            feats, kernel_init=kernel_init, bias_init=bias_init,
+            dtype=self.compute_dtype, name=name,
+        )
+        input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
+        input_views = x[..., self.input_ch :].astype(self.compute_dtype)
+        h = _Trunk(self.depth, self.width, self.input_ch, self.skips,
+                   dropout_rate=self.dropout_rate,
+                   compute_dtype=self.compute_dtype, name="trunk")(
+            input_pts, deterministic=deterministic
+        )
+        if self.use_viewdirs:
+            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+            alpha = dense(1, "alpha_linear")(h)
+            feature = dense(self.width, "feature_linear")(h)
+            hv = jnp.concatenate([feature, input_views], -1)
+            hv = nn.relu(dense(self.width // 2, "views_linear")(hv))
+            hv = nn.Dropout(self.dropout_rate, deterministic=deterministic)(hv)
+            rgb = dense(3, "rgb_linear")(hv)
+            out = jnp.concatenate([rgb, alpha], -1)
+        else:
+            out = dense(self.output_ch, "output_linear")(h)
+        return out.astype(jnp.float32)
+
+
+class NeRFWild(nn.Module):
+    """Learned-std baseline: rgb head plus a per-point std head."""
+
+    depth: int = 8
+    width: int = 256
+    input_ch: int = 63
+    input_ch_views: int = 27
+    output_ch: int = 5
+    skips: Tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel_init, bias_init = torch_linear_init()
+        dense = lambda feats, name: nn.Dense(
+            feats, kernel_init=kernel_init, bias_init=bias_init,
+            dtype=self.compute_dtype, name=name,
+        )
+        input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
+        input_views = x[..., self.input_ch :].astype(self.compute_dtype)
+        h = _Trunk(self.depth, self.width, self.input_ch, self.skips,
+                   compute_dtype=self.compute_dtype, name="trunk")(input_pts)
+        if self.use_viewdirs:
+            alpha = dense(1, "alpha_linear")(h)
+            feature = dense(self.width, "feature_linear")(h)
+            hv = jnp.concatenate([feature, input_views], -1)
+            hv = nn.relu(dense(self.width // 2, "views_linear")(hv))
+            rgb = dense(3, "rgb_linear")(hv)
+            rgb_std = dense(1, "std_linear")(hv)
+            out = jnp.concatenate([rgb, rgb_std, alpha], -1)
+        else:
+            out = dense(self.output_ch, "output_linear")(h)
+        return out.astype(jnp.float32)

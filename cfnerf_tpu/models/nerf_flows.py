@@ -1,0 +1,276 @@
+"""NeRF_Flows — the CF-NeRF probabilistic radiance field.
+
+Parity target: /root/reference/model/models.py:13-291.
+
+Structure: an 8xW MLP trunk with a skip connection at depth D/2 emits two
+conditioning vectors, h_alpha (density head) and h_rgb (view-dependent RGB
+head).  Global learnable base-distribution parameters (alpha_mean/std scalar,
+rgb_mean/std 3-vector) define N(mu, sigma^2) from which K latent draws are
+reparameterized (z0 = mu + sigma * eps, with eps SHARED across all points in
+the batch — models.py:234,246) and pushed through two conditional
+Triangular-Sylvester flow stacks.  The flow outputs are the pre-activation
+density (final activation softplus, applied in compositing) and pre-sigmoid
+RGB; their activation log-det corrections are folded into the entropy term
+(models.py:261-278).
+
+Entropy loss (models.py:265-286):
+    E[log q0(z0)] - E[sum log|det J|]   summed over both flows,
+with the base log-density taken elementwise as -0.5*(2 log sigma + eps^2)
+(no -0.5 log 2pi constant) and each term .mean()-ed over ALL its elements —
+note the rgb base term therefore averages over 3 channels while the log-det
+terms average over (B, K); we reproduce those exact normalizations.
+
+Test mode (models.py:192-223): eps comes from fixed buffers drawn once at
+init, with the LAST of the K draws replaced by zeros (the mean sample), and
+the flows skip log-det computation (flows.py:204-223).
+
+TPU-native design decisions:
+  * K rides a broadcast axis end-to-end; the reference tiles h to (B*K, h)
+    (models.py:255-256) — we never materialize that;
+  * the trunk runs in `compute_dtype` (bf16 on MXU for speed); conditioning
+    vectors are cast to f32 before flow amortization, and all flow /
+    log-det / entropy math is f32;
+  * the n_flows chain is unrolled at trace time and fuses into one XLA
+    elementwise pipeline per flow family.
+
+Known reference defects handled here (SURVEY.md section 2):
+  * use_viewdirs=False crashes in the reference (self.output_ch never set,
+    h_alpha/h_rgb undefined); we implement the intended behavior — both
+    conditioning vectors amortized from the trunk output, no view branch;
+  * the unused alpha_linear / alpha_std_linear heads (models.py:59-60) are
+    not replicated (dead parameters).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cfnerf_tpu.flows.amortized import AmortizedTriangularSylvester, AmortizedPlanar
+from cfnerf_tpu.flows.sylvester import triangular_sylvester_stack, planar_step
+from cfnerf_tpu.utils.init import torch_linear_init
+
+Z_ALPHA = 1  # density latent dim
+Z_RGB = 3    # rgb latent dim (z_size forced to 3 in the reference, models.py:31)
+
+
+class NeRFFlows(nn.Module):
+    net_depth: int = 8
+    net_width: int = 256
+    input_ch: int = 63
+    input_ch_views: int = 27
+    skips: Tuple[int, ...] = (4,)
+    h_alpha_size: int = 32
+    h_rgb_size: int = 64
+    n_flows: int = 4
+    k_samples: int = 64
+    use_viewdirs: bool = True
+    type_flows: str = "triangular"
+    compute_dtype: jnp.dtype = jnp.float32
+    test_eps_seed: int = 0
+
+    def setup(self):
+        kernel_init, bias_init = torch_linear_init()
+        dense = lambda feats, name: nn.Dense(
+            feats, name=name, kernel_init=kernel_init, bias_init=bias_init,
+            dtype=self.compute_dtype, param_dtype=jnp.float32,
+        )
+
+        self.pts_linears = [
+            dense(self.net_width, f"pts_linear_{i}") for i in range(self.net_depth)
+        ]
+        if self.use_viewdirs:
+            self.feature_linear = dense(self.net_width, "feature_linear")
+            self.views_linear = dense(self.net_width // 2, "views_linear")
+            self.h_alpha_linear = dense(self.h_alpha_size, "h_alpha_linear")
+            self.h_rgb_linear = dense(self.h_rgb_size, "h_rgb_linear")
+        else:
+            # Intended (non-crashing) behavior: both heads from the trunk.
+            self.h_alpha_linear = dense(self.h_alpha_size, "h_alpha_linear")
+            self.h_rgb_linear = dense(self.h_rgb_size, "h_rgb_linear")
+
+        # Global learnable base-distribution parameters (models.py:44-48).
+        self.alpha_mean = self.param("alpha_mean", nn.initializers.zeros, (Z_ALPHA,))
+        self.alpha_std = self.param("alpha_std", nn.initializers.ones, (Z_ALPHA,))
+        self.rgb_mean = self.param("rgb_mean", nn.initializers.zeros, (Z_RGB,))
+        self.rgb_std = self.param("rgb_std", nn.initializers.ones, (Z_RGB,))
+
+        if self.type_flows == "planar":
+            self.flows_alpha = AmortizedPlanar(Z_ALPHA, self.n_flows, name="flows_alpha")
+            self.flows_rgb = AmortizedPlanar(Z_RGB, self.n_flows, name="flows_rgb")
+        else:  # 'triangular' (the only family wired in the reference) or 'no_flow'
+            self.flows_alpha = AmortizedTriangularSylvester(
+                Z_ALPHA, self.n_flows, name="flows_alpha"
+            )
+            self.flows_rgb = AmortizedTriangularSylvester(
+                Z_RGB, self.n_flows, name="flows_rgb"
+            )
+
+    # ------------------------------------------------------------------ #
+
+    def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Trunk MLP + heads (models.py:165-186).
+
+        x: (B, input_ch + input_ch_views) embedded points (+ dirs).
+        Returns (h_alpha (B, h_alpha_size), h_rgb (B, h_rgb_size)) in f32.
+        """
+        input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
+        input_views = x[..., self.input_ch :].astype(self.compute_dtype)
+
+        h = input_pts
+        for i, layer in enumerate(self.pts_linears):
+            h = nn.relu(layer(h))
+            if i in self.skips:
+                h = jnp.concatenate([input_pts, h], -1)
+
+        if self.use_viewdirs:
+            h_alpha = self.h_alpha_linear(h)
+            feature = self.feature_linear(h)
+            hv = jnp.concatenate([feature, input_views], -1)
+            hv = nn.relu(self.views_linear(hv))
+            h_rgb = self.h_rgb_linear(hv)
+        else:
+            h_alpha = self.h_alpha_linear(h)
+            h_rgb = self.h_rgb_linear(h)
+
+        return h_alpha.astype(jnp.float32), h_rgb.astype(jnp.float32)
+
+    # ------------------------------------------------------------------ #
+
+    def _test_eps(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fixed eps buffers with the last draw zeroed (= mean sample);
+        models.py:50-55,199,205."""
+        key = jax.random.PRNGKey(self.test_eps_seed)
+        ka, kr = jax.random.split(key)
+        eps_a = jax.random.normal(ka, (self.k_samples, Z_ALPHA))
+        eps_r = jax.random.normal(kr, (self.k_samples, Z_RGB))
+        eps_a = eps_a.at[-1].set(0.0)
+        eps_r = eps_r.at[-1].set(0.0)
+        return eps_a, eps_r
+
+    def _apply_flows(self, z0, h, which: str, compute_log_det: bool):
+        """Push (B, K, Z) latents through the amortized flow stack."""
+        if self.type_flows == "no_flow":
+            return z0, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
+        amor = self.flows_alpha if which == "alpha" else self.flows_rgb
+        if self.type_flows == "planar":
+            u, w, b = amor(h)
+            z, ldj = z0, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
+            for k in range(self.n_flows):
+                z, ld = planar_step(z, u[..., k], w[..., k], b[..., k])
+                ldj = ldj + ld
+            if not compute_log_det:
+                ldj = jnp.zeros_like(ldj)
+            return z, ldj
+        r1, r2, b = amor(h)
+        return triangular_sylvester_stack(
+            z0, r1, r2, b, compute_log_det=compute_log_det
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        is_test: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward pass (models.py:188-291).
+
+        Args:
+          x: (B, input_ch [+ input_ch_views]) embedded inputs.
+          is_test: fixed-eps mean-sample mode, no entropy (models.py:192-223).
+          rng: PRNG key for the shared-K eps draw (required when not is_test).
+
+        Returns:
+          raw: (B, K, 4) — pre-sigmoid RGB (3) then pre-softplus density (1).
+          loss_entropy: scalar (0.0 in test mode).
+        """
+        h_alpha, h_rgb = self.encode(x)
+        B = h_alpha.shape[0]
+        K = self.k_samples
+
+        if is_test:
+            eps_a, eps_r = self._test_eps()
+        else:
+            if rng is None:
+                raise ValueError("training forward requires an rng key")
+            ka, kr = jax.random.split(rng)
+            # Shared across all points in the batch (models.py:234,246).
+            eps_a = jax.random.normal(ka, (K, Z_ALPHA))
+            eps_r = jax.random.normal(kr, (K, Z_RGB))
+
+        # Reparameterized base draws, broadcast over points: (B, K, Z).
+        alpha0 = eps_a[None] * self.alpha_std + self.alpha_mean
+        rgb0 = eps_r[None] * self.rgb_std + self.rgb_mean
+        alpha0 = jnp.broadcast_to(alpha0, (B, K, Z_ALPHA))
+        rgb0 = jnp.broadcast_to(rgb0, (B, K, Z_RGB))
+
+        compute_ld = not is_test
+        z_alpha, ldj_alpha = self._apply_flows(alpha0, h_alpha, "alpha", compute_ld)
+        z_rgb, ldj_rgb = self._apply_flows(rgb0, h_rgb, "rgb", compute_ld)
+
+        raw = jnp.concatenate([z_rgb, z_alpha], -1)  # (B, K, 4)
+
+        if is_test:
+            return raw, jnp.zeros((), dtype=raw.dtype)
+
+        # Final-activation log-det corrections (models.py:261-278):
+        #   density softplus:  log d softplus/dz = log sigmoid(z) = z - softplus(z)
+        #   rgb sigmoid:       log d sigmoid/dz  = z - 2 softplus(z)
+        ldj_alpha = ldj_alpha + (z_alpha - jax.nn.softplus(z_alpha)).sum(-1)
+        ldj_rgb = ldj_rgb + (z_rgb - 2.0 * jax.nn.softplus(z_rgb)).sum(-1)
+
+        # Base log-density, elementwise (no -0.5 log 2pi; models.py:268,283).
+        base_a = -0.5 * (
+            2.0 * jnp.log(self.alpha_std)
+            + (alpha0 - self.alpha_mean) ** 2 / self.alpha_std ** 2
+        )
+        base_r = -0.5 * (
+            2.0 * jnp.log(self.rgb_std)
+            + (rgb0 - self.rgb_mean) ** 2 / self.rgb_std ** 2
+        )
+
+        loss_entropy = (
+            base_a.mean() - ldj_alpha.mean() + base_r.mean() - ldj_rgb.mean()
+        )
+        return raw, loss_entropy
+
+    # ---------------- latent-space diagnostics (models.py:69-163) ------ #
+
+    def sample(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Density-only K draws through the alpha flow (models.py:69-96)."""
+        h_alpha, _ = self.encode(x)
+        B = h_alpha.shape[0]
+        eps_a, _ = self._test_eps()
+        alpha0 = jnp.broadcast_to(
+            eps_a[None] * self.alpha_std + self.alpha_mean, (B, self.k_samples, Z_ALPHA)
+        )
+        z_alpha, _ = self._apply_flows(alpha0, h_alpha, "alpha", False)
+        return z_alpha
+
+    def interpolation(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Latent walks z1 -> mean -> z2 through both flows
+        (models.py:98-163): 10 steps z1->mean then 11 steps mean->z2."""
+        h_alpha, h_rgb = self.encode(x)
+        B = h_alpha.shape[0]
+        key = jax.random.PRNGKey(self.test_eps_seed + 1)
+        ka, kr = jax.random.split(key)
+        eps_a = jax.random.normal(ka, (2, Z_ALPHA))
+        eps_r = jax.random.normal(kr, (2, Z_RGB))
+
+        def walk(eps, mean, std, zdim):
+            z_ends = eps * std + mean  # (2, Z)
+            mean_b = jnp.broadcast_to(mean, (zdim,))
+            betas1 = jnp.arange(10) / 10.0
+            betas2 = jnp.arange(11) / 10.0
+            seg1 = (1 - betas1)[:, None] * z_ends[0] + betas1[:, None] * mean_b
+            seg2 = (1 - betas2)[:, None] * mean_b + betas2[:, None] * z_ends[1]
+            return jnp.concatenate([seg1, seg2], 0)  # (21, Z)
+
+        walk_a = jnp.broadcast_to(walk(eps_a, self.alpha_mean, self.alpha_std, Z_ALPHA)[None], (B, 21, Z_ALPHA))
+        walk_r = jnp.broadcast_to(walk(eps_r, self.rgb_mean, self.rgb_std, Z_RGB)[None], (B, 21, Z_RGB))
+        z_a, _ = self._apply_flows(walk_a, h_alpha, "alpha", False)
+        z_r, _ = self._apply_flows(walk_r, h_rgb, "rgb", False)
+        return jnp.concatenate([z_r, z_a], -1)  # (B, 21, 4)

@@ -1,0 +1,66 @@
+"""Device mesh + sharding layout.
+
+The reference's ONLY parallelism is single-process nn.DataParallel over the
+point batch (/root/reference/run_nerf_uncertainty_NF.py:330) — replicate,
+scatter, gather every forward over NCCL.  The TPU-native equivalent: rays
+are embarrassingly parallel (no cross-ray communication exists anywhere in
+the CF-NeRF math), so we lay a 1-D `data` mesh over ICI, shard the ray axis
+of every batch array, replicate the ~10-50M-param model, and let jit insert
+one gradient all-reduce (psum over ICI) per step.  A 2-D mesh (data x
+model) is accepted for pod-scale runs; the model axis is currently used
+with fully-replicated parameters (the model is small) but the layout keeps
+the door open for sharding the trunk width.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """1-D (or 2-D) mesh over the available devices.
+
+    n_devices defaults to all of jax.devices().  With model_parallel > 1 the
+    mesh is (data, model) shaped (n/mp, mp) so model-axis collectives ride
+    the fastest ICI links (innermost axis).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    dev_array = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place every array in a batch pytree with its ray axis sharded."""
+    sharding = ray_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

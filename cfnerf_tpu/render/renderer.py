@@ -1,0 +1,216 @@
+"""Volume renderer: ray batch -> (K-sample rgb, disp, depth, weights).
+
+Parity targets:
+  * render_rays      /root/reference/run_nerf_uncertainty_NF.py:457-553
+  * render (plumbing) /root/reference/run_nerf_uncertainty_NF.py:103-170
+  * batchify_rays / batchify chunk loops (:88-100, :47-64) — intentionally
+    NOT reproduced: the whole ray batch renders inside one jit; host-side
+    chunking survives only as lax.map tiling for full-image eval renders
+    (render_image below), where H*W rays would exceed device memory.
+
+The reference's hardcoded raw-noise behavior (computed but never added,
+:432-442) is reproduced via ops.compositing.raw2outputs(apply_noise=False).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cfnerf_tpu.ops.compositing import raw2outputs
+from cfnerf_tpu.ops.embed import Embedder
+from cfnerf_tpu.ops.rays import get_rays, ndc_rays
+from cfnerf_tpu.ops.sampling import sample_z_vals, stratified_perturb
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable -> safe to close over jit)."""
+
+    n_samples: int = 128
+    perturb: bool = True
+    lindisp: bool = False
+    use_viewdirs: bool = True
+    white_bkgd: bool = False
+    raw_noise_std: float = 0.0
+    apply_noise: bool = False  # reference parity: noise is never applied
+    uniform: bool = False      # --uniformsample flag surface
+    multires: int = 10
+    multires_views: int = 4
+    i_embed: int = 0
+
+    def embedders(self) -> Tuple[Embedder, Optional[Embedder]]:
+        if self.i_embed == -1:
+            emb = Embedder(num_freqs=0)
+            emb_dirs = Embedder(num_freqs=0) if self.use_viewdirs else None
+        else:
+            emb = Embedder(num_freqs=self.multires, max_freq_log2=self.multires - 1)
+            emb_dirs = (
+                Embedder(num_freqs=self.multires_views, max_freq_log2=self.multires_views - 1)
+                if self.use_viewdirs
+                else None
+            )
+        return emb, emb_dirs
+
+
+def make_render_rays(
+    model_apply: Callable[..., Tuple[jnp.ndarray, jnp.ndarray]],
+    config: RenderConfig,
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Build the fused per-batch renderer.
+
+    model_apply(params, x, is_test=..., rng=...) -> (raw (B, K, 4), entropy).
+
+    The returned function renders a flat ray batch in one traced pass:
+    z-schedule -> stratified jitter -> positional encode -> model (K draws)
+    -> composite.  `is_test` is a static python bool (two compiled variants:
+    train uses fresh shared-K eps + entropy; test uses fixed eps, no jitter
+    handled by the caller passing perturb=False via config).
+    """
+    embedder, embedder_dirs = config.embedders()
+
+    def render_rays(
+        params: Any,
+        rays_o: jnp.ndarray,   # (R, 3)
+        rays_d: jnp.ndarray,   # (R, 3)
+        viewdirs: Optional[jnp.ndarray],  # (R, 3) unit vectors or None
+        near: jnp.ndarray,     # (R, 1) or scalar
+        far: jnp.ndarray,
+        rng: Optional[jax.Array],
+        *,
+        is_test: bool,
+    ) -> Dict[str, jnp.ndarray]:
+        R = rays_o.shape[0]
+        S = config.n_samples
+
+        z_vals = sample_z_vals(
+            near, far, S, lindisp=config.lindisp, uniform=config.uniform
+        )
+        z_vals = jnp.broadcast_to(z_vals, (R, S))
+
+        rng_z = rng_eps = rng_noise = None
+        if rng is not None:
+            rng_z, rng_eps, rng_noise = jax.random.split(rng, 3)
+        if config.perturb and not is_test and rng_z is not None:
+            z_vals = stratified_perturb(z_vals, rng_z)
+
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # (R, S, 3)
+        emb = embedder(pts.reshape(R * S, 3))
+        if config.use_viewdirs and viewdirs is not None:
+            emb_dirs = embedder_dirs(viewdirs)  # (R, Dv)
+            emb_dirs = jnp.broadcast_to(
+                emb_dirs[:, None, :], (R, S, emb_dirs.shape[-1])
+            ).reshape(R * S, -1)
+            emb = jnp.concatenate([emb, emb_dirs], -1)
+
+        raw_flat, loss_entropy = model_apply(params, emb, is_test=is_test, rng=rng_eps)
+        K = raw_flat.shape[-2]
+        raw = raw_flat.reshape(R, S, K, 4)
+
+        rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
+            raw,
+            z_vals,
+            rays_d,
+            raw_noise_std=config.raw_noise_std,
+            white_bkgd=config.white_bkgd,
+            rng=rng_noise,
+            apply_noise=config.apply_noise,
+        )
+
+        out = {
+            "rgb_map": rgb_map,       # (R, 3, K)
+            "disp_map": disp_map,     # (R, K)
+            "depth_map": depth_map,   # (R, K)
+            "acc_map": acc_map,       # (R, K)
+            "loss_entropy": loss_entropy,
+        }
+        if not is_test:
+            out["weights"] = weights
+        return out
+
+    return render_rays
+
+
+def prepare_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    ndc: bool,
+    use_viewdirs: bool,
+    near: float,
+    far: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """Flatten/NDC/viewdirs plumbing (reference render(), :129-158)."""
+    if use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+    else:
+        viewdirs = None
+    if ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    near_v = near * jnp.ones_like(rays_d[..., :1])
+    far_v = far * jnp.ones_like(rays_d[..., :1])
+    return rays_o, rays_d, viewdirs, near_v, far_v
+
+
+def render_image(
+    render_rays_fn: Callable[..., Dict[str, jnp.ndarray]],
+    params: Any,
+    c2w: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    ndc: bool,
+    use_viewdirs: bool,
+    near: float,
+    far: float,
+    tile: int = 4096,
+) -> Dict[str, jnp.ndarray]:
+    """Full-image eval render (reference render_path single-pose path,
+    :247-314, with the snapshot's crash bugs fixed).
+
+    Tiles H*W rays with lax.map so device memory stays bounded while the
+    per-tile compute is one fused kernel.  Pads the ray count up to a tile
+    multiple (static shapes) and strips the padding after.
+    """
+    rays_o, rays_d = get_rays(H, W, focal, c2w)
+    rays_o, rays_d, viewdirs, near_v, far_v = prepare_rays(
+        rays_o, rays_d, H=H, W=W, focal=focal, ndc=ndc,
+        use_viewdirs=use_viewdirs, near=near, far=far,
+    )
+    n = rays_o.shape[0]
+    n_pad = (-n) % tile
+    pad = lambda x: jnp.concatenate([x, jnp.broadcast_to(x[-1:], (n_pad, *x.shape[1:]))], 0)
+    rays_o, rays_d, near_v, far_v = map(pad, (rays_o, rays_d, near_v, far_v))
+    if viewdirs is not None:
+        viewdirs = pad(viewdirs)
+    n_tiles = rays_o.shape[0] // tile
+
+    def body(args):
+        ro, rd, vd, nv, fv = args
+        return render_rays_fn(params, ro, rd, vd, nv, fv, None, is_test=True)
+
+    reshape = lambda x: x.reshape(n_tiles, tile, *x.shape[1:])
+    tiles = (
+        reshape(rays_o),
+        reshape(rays_d),
+        reshape(viewdirs) if viewdirs is not None else jnp.zeros((n_tiles, tile, 3)),
+        reshape(near_v),
+        reshape(far_v),
+    )
+    out = jax.lax.map(body, tiles)
+    result = {}
+    for k, v in out.items():
+        if k == "loss_entropy":
+            continue
+        v = v.reshape(n_tiles * tile, *v.shape[2:])[:n]
+        result[k] = v.reshape(H, W, *v.shape[1:])
+    return result
