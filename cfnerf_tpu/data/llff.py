@@ -1,0 +1,342 @@
+"""LLFF dataset loading (host-side, numpy).
+
+Capability parity with /root/reference/load_llff.py:
+  * poses_bounds.npy parsing (:66-123), axis swap [-y x z] -> [x y z] (:284),
+    world rescale by 1/(bds.min * bd_factor) (:291-293);
+  * on-demand image downsampling — the reference shells out to ImageMagick
+    `mogrify` (:12-61); we use Pillow's high-quality Lanczos resampling
+    in-process (no subprocess, no ImageMagick dependency), writing the same
+    images_{factor}/ cache layout so datasets minified by either tool
+    interoperate;
+  * pose recentering (:171-183), spherification (:219-275), spiral render
+    path (:158-167,311-338), nearest-to-mean holdout (:354-356);
+  * COLMAP sparse-depth supervision (load_colmap_depth, :374-421) with the
+    same reprojection-error weights 2*exp(-(err/err_mean)^2) and near/far
+    depth filtering.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+from cfnerf_tpu.data.colmap import read_images_binary, read_points3d_binary, qvec2rotmat
+
+
+# --------------------------- image I/O ------------------------------------ #
+
+def _imread(path) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    img = imageio.imread(path)
+    return img
+
+
+def _minify(basedir, factors=(), resolutions=()) -> None:
+    """Create images_{factor}/ (or images_{W}x{H}/) caches with Pillow."""
+    from PIL import Image as PILImage
+
+    todo = []
+    for r in factors:
+        if not os.path.exists(os.path.join(basedir, f"images_{r}")):
+            todo.append(("factor", r))
+    for r in resolutions:
+        if not os.path.exists(os.path.join(basedir, f"images_{r[1]}x{r[0]}")):
+            todo.append(("res", r))
+    if not todo:
+        return
+
+    imgdir = os.path.join(basedir, "images")
+    exts = ("JPG", "jpg", "png", "jpeg", "PNG")
+    files = sorted(
+        f for f in os.listdir(imgdir) if any(f.endswith(e) for e in exts)
+    )
+
+    for kind, r in todo:
+        if kind == "factor":
+            out = os.path.join(basedir, f"images_{r}")
+        else:
+            out = os.path.join(basedir, f"images_{r[1]}x{r[0]}")
+        os.makedirs(out, exist_ok=True)
+        print(f"Minifying x{r} -> {out} (Pillow Lanczos)")
+        for fname in files:
+            im = PILImage.open(os.path.join(imgdir, fname))
+            if kind == "factor":
+                new_size = (round(im.width / r), round(im.height / r))
+            else:
+                new_size = (r[1], r[0])
+            im = im.convert("RGB").resize(new_size, PILImage.LANCZOS)
+            stem = os.path.splitext(fname)[0]
+            im.save(os.path.join(out, stem + ".png"))
+
+
+def _load_data(basedir, factor=None, width=None, height=None, load_imgs=True):
+    poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
+    poses = poses_arr[:, :-2].reshape([-1, 3, 5]).transpose([1, 2, 0])  # (3, 5, N)
+    bds = poses_arr[:, -2:].transpose([1, 0])  # (2, N)
+
+    imgdir0 = os.path.join(basedir, "images")
+    img0 = next(
+        os.path.join(imgdir0, f)
+        for f in sorted(os.listdir(imgdir0))
+        if f.endswith(("JPG", "jpg", "png"))
+    )
+    sh = _imread(img0).shape
+
+    sfx = ""
+    if factor is not None and factor != 1:
+        sfx = f"_{factor}"
+        _minify(basedir, factors=[factor])
+    elif height is not None:
+        factor = sh[0] / float(height)
+        width = int(sh[1] / factor)
+        _minify(basedir, resolutions=[[height, width]])
+        sfx = f"_{width}x{height}"
+    elif width is not None:
+        factor = sh[1] / float(width)
+        height = int(sh[0] / factor)
+        _minify(basedir, resolutions=[[height, width]])
+        sfx = f"_{width}x{height}"
+    else:
+        factor = 1
+
+    imgdir = os.path.join(basedir, "images" + sfx)
+    if not os.path.exists(imgdir):
+        raise FileNotFoundError(f"{imgdir} does not exist")
+
+    imgfiles = [
+        os.path.join(imgdir, f)
+        for f in sorted(os.listdir(imgdir))
+        if f.endswith(("JPG", "jpg", "png"))
+    ]
+    if poses.shape[-1] != len(imgfiles):
+        raise ValueError(
+            f"Mismatch between imgs {len(imgfiles)} and poses {poses.shape[-1]}"
+        )
+
+    sh = _imread(imgfiles[0]).shape
+    poses[:2, 4, :] = np.array(sh[:2]).reshape([2, 1])
+    poses[2, 4, :] = poses[2, 4, :] * 1.0 / factor
+
+    if not load_imgs:
+        return poses, bds
+
+    imgs = [_imread(f)[..., :3] / 255.0 for f in imgfiles]
+    imgs = np.stack(imgs, -1)
+    return poses, bds, imgs
+
+
+# --------------------------- pose utilities ------------------------------- #
+
+def normalize(x):
+    return x / np.linalg.norm(x)
+
+
+def viewmatrix(z, up, pos):
+    vec2 = normalize(z)
+    vec0 = normalize(np.cross(up, vec2))
+    vec1 = normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], 1)
+
+
+def poses_avg(poses):
+    hwf = poses[0, :3, -1:]
+    center = poses[:, :3, 3].mean(0)
+    vec2 = normalize(poses[:, :3, 2].sum(0))
+    up = poses[:, :3, 1].sum(0)
+    return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
+
+
+def recenter_poses(poses):
+    poses_ = poses + 0
+    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
+    c2w = poses_avg(poses)
+    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
+    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
+    poses4 = np.concatenate([poses[:, :3, :4], bottom], -2)
+    poses4 = np.linalg.inv(c2w) @ poses4
+    poses_[:, :3, :4] = poses4[:, :3, :4]
+    return poses_
+
+
+def render_path_spiral(c2w, up, rads, focal, zdelta, zrate, rots, N) -> List[np.ndarray]:
+    render_poses = []
+    rads = np.array(list(rads) + [1.0])
+    hwf = c2w[:, 4:5]
+    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
+        c = np.dot(
+            c2w[:3, :4],
+            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads,
+        )
+        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
+        render_poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
+    return render_poses
+
+
+def spherify_poses(poses, bds):
+    p34_to_44 = lambda p: np.concatenate(
+        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1
+    )
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+
+    def min_line_dist(rays_o, rays_d):
+        A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
+        b_i = -A_i @ rays_o
+        return np.squeeze(
+            -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ b_i.mean(0)
+        )
+
+    center = min_line_dist(rays_o, rays_d)
+    up = (poses[:, :3, 3] - center).mean(0)
+    vec0 = normalize(up)
+    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = normalize(np.cross(vec0, vec1))
+    c2w = np.stack([vec1, vec2, vec0, center], 1)
+
+    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
+    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+    sc = 1.0 / rad
+    poses_reset[:, :3, 3] *= sc
+    bds = bds * sc
+    rad *= sc
+
+    centroid = np.mean(poses_reset[:, :3, 3], 0)
+    zh = centroid[2]
+    radcircle = np.sqrt(rad ** 2 - zh ** 2)
+    new_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120):
+        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
+        up = np.array([0, 0, -1.0])
+        vec2 = normalize(camorigin)
+        vec0 = normalize(np.cross(vec2, up))
+        vec1 = normalize(np.cross(vec2, vec0))
+        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
+    new_poses = np.stack(new_poses, 0)
+    new_poses = np.concatenate(
+        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1
+    )
+    poses_reset = np.concatenate(
+        [poses_reset[:, :3, :4], np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)],
+        -1,
+    )
+    return poses_reset, new_poses, bds
+
+
+# --------------------------- public entry points --------------------------- #
+
+def load_llff_data(
+    basedir,
+    factor=8,
+    recenter=True,
+    bd_factor=0.75,
+    spherify=False,
+    path_zflat=False,
+):
+    """Returns (images (N,H,W,3), poses (N,3,5), bds (N,2),
+    render_poses (M,3,5), i_test)."""
+    poses, bds, imgs = _load_data(basedir, factor=factor)
+
+    # Axis convention fix: [down, right, back] -> [right, up, back]
+    poses = np.concatenate([poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1)
+    poses = np.moveaxis(poses, -1, 0).astype(np.float32)
+    imgs = np.moveaxis(imgs, -1, 0).astype(np.float32)
+    bds = np.moveaxis(bds, -1, 0).astype(np.float32)
+
+    sc = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
+    poses[:, :3, 3] *= sc
+    bds *= sc
+
+    if recenter:
+        poses = recenter_poses(poses)
+
+    if spherify:
+        poses, render_poses, bds = spherify_poses(poses, bds)
+    else:
+        c2w = poses_avg(poses)
+        up = normalize(poses[:, :3, 1].sum(0))
+        close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
+        dt = 0.75
+        focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+        zdelta = close_depth * 0.2
+        tt = poses[:, :3, 3]
+        rads = np.percentile(np.abs(tt), 90, 0)
+        c2w_path = c2w
+        N_views, N_rots = 30, 2
+        if path_zflat:
+            zloc = -close_depth * 0.1
+            c2w_path[:3, 3] = c2w_path[:3, 3] + zloc * c2w_path[:3, 2]
+            rads[2] = 0.0
+            N_rots = 1
+            N_views //= 2
+        render_poses = render_path_spiral(
+            c2w_path, up, rads, focal, zdelta, zrate=0.5, rots=N_rots, N=N_views
+        )
+
+    render_poses = np.array(render_poses).astype(np.float32)
+    c2w = poses_avg(poses)
+    dists = np.sum(np.square(c2w[:3, 3] - poses[:, :3, 3]), -1)
+    i_test = int(np.argmin(dists))
+
+    return imgs.astype(np.float32), poses.astype(np.float32), bds, render_poses, i_test
+
+
+def _colmap_poses(images) -> np.ndarray:
+    poses = []
+    for i in images:
+        R = images[i].qvec2rotmat()
+        t = images[i].tvec.reshape([3, 1])
+        bottom = np.array([0, 0, 0, 1.0]).reshape([1, 4])
+        w2c = np.concatenate([np.concatenate([R, t], 1), bottom], 0)
+        poses.append(np.linalg.inv(w2c))
+    return np.array(poses)
+
+
+def load_colmap_depth(basedir, factor=8, bd_factor=0.75, cache=True):
+    """Per-train-image sparse depths from COLMAP keypoints, with
+    reprojection-error-based confidence weights.
+
+    Returns a list of dicts {"depth": (M,), "coord": (M, 2), "weight": (M,)}
+    for each image with at least one valid keypoint.
+    """
+    basedir = Path(basedir)
+    images = read_images_binary(basedir / "sparse" / "0" / "images.bin")
+    points = read_points3d_binary(basedir / "sparse" / "0" / "points3D.bin")
+
+    errs = np.array([p.error for p in points.values()])
+    err_mean = errs.mean()
+
+    poses = _colmap_poses(images)
+    poses_raw, bds_raw = _load_data(str(basedir), factor=factor, load_imgs=False)
+    bds_raw = np.moveaxis(bds_raw, -1, 0).astype(np.float32)
+    sc = 1.0 if bd_factor is None else 1.0 / (bds_raw.min() * bd_factor)
+
+    data_list = []
+    for idx, id_im in enumerate(sorted(images.keys())):
+        im = images[id_im]
+        depth_list, coord_list, weight_list = [], [], []
+        for xy, id_3d in zip(im.xys, im.point3D_ids):
+            if id_3d == -1:
+                continue
+            pt = points[id_3d].xyz
+            depth = (poses[idx, :3, 2].T @ (pt - poses[idx, :3, 3])) * sc
+            if depth < bds_raw[idx, 0] * sc or depth > bds_raw[idx, 1] * sc:
+                continue
+            err = points[id_3d].error
+            weight = 2 * np.exp(-((err / err_mean) ** 2))
+            depth_list.append(depth)
+            coord_list.append(xy / factor)
+            weight_list.append(weight)
+        if depth_list:
+            data_list.append(
+                {
+                    "depth": np.array(depth_list),
+                    "coord": np.array(coord_list),
+                    "weight": np.array(weight_list),
+                }
+            )
+    if cache:
+        np.save(basedir / "colmap_depth.npy", np.array(data_list, dtype=object), allow_pickle=True)
+    return data_list

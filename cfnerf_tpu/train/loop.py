@@ -1,0 +1,307 @@
+"""Training driver — the experiment loop.
+
+Parity target: train(), /root/reference/run_nerf_uncertainty_NF.py:722-1198:
+data load -> splits -> run-dir + args snapshot -> model build/resume ->
+(render_only shortcut) -> ray precompute -> per-iteration loop with loss /
+Adam / lr decay / logging / checkpoint / video cadences.
+
+Reference defects intentionally fixed (SURVEY.md section 2):
+  * render_only / i_video paths crash in the snapshot (undefined `var`,
+    wrong unpack arity, `expname` NameError :207,:204,:1107) — implemented
+    here as intended: mean/std/disp image export + mp4;
+  * i_val_internal is undefined for generic LLFF/blender scenes (:877) —
+    defaults to i_val;
+  * np.float usage (:871) — gone (float32 throughout).
+
+TPU-native: the step is one jit (train/step.py); host work per iteration is
+two contiguous numpy slices + one device_put.  Eval renders run through the
+tiled lax.map image renderer.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfnerf_tpu.data.blender import load_blender_data
+from cfnerf_tpu.data.llff import load_colmap_depth, load_llff_data
+from cfnerf_tpu.data.sampler import (
+    DepthRayBatcher,
+    RayBatcher,
+    lf_scene_splits,
+    precompute_depth_rays,
+    precompute_rays,
+)
+from cfnerf_tpu.models.factory import create_nerf
+from cfnerf_tpu.ops.metrics import to8b
+from cfnerf_tpu.parallel.mesh import create_mesh, shard_batch
+from cfnerf_tpu.render.renderer import make_render_rays, render_image
+from cfnerf_tpu.train import checkpoint as ckpt
+from cfnerf_tpu.train.logging import MetricsLogger
+from cfnerf_tpu.train.step import TrainConfig, make_train_step
+
+N_DEPTH = 128  # depth rays per step (reference :855)
+
+
+def load_dataset(args):
+    """Dataset dispatch (reference :730-801). Returns a dict of scene data."""
+    if args.dataset_type == "llff":
+        depth_gts = None
+        if args.colmap_depth:
+            depth_gts = load_colmap_depth(args.datadir, factor=args.factor, bd_factor=0.75)
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            args.datadir, args.factor, recenter=True, bd_factor=0.75,
+            spherify=args.spherify,
+        )
+        hwf = poses[0, :3, -1]
+        poses = poses[:, :3, :4]
+        i_train, i_val, i_val_internal = lf_scene_splits(
+            args.dataname, images.shape[0], args.llffhold
+        )
+        if args.no_ndc:
+            near = float(bds.min()) * 0.9
+            far = float(bds.max()) * 1.0
+        else:
+            near, far = 0.0, 1.0
+    elif args.dataset_type == "blender":
+        images, poses, render_poses, hwf, i_split = load_blender_data(
+            args.datadir, args.half_res, args.testskip
+        )
+        i_train, i_val, i_test = [list(s) for s in i_split]
+        i_val_internal = list(i_val)
+        near, far = 2.0, 6.0
+        if args.white_bkgd:
+            images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+        else:
+            images = images[..., :3]
+        poses = poses[:, :3, :4]
+        depth_gts = None
+    else:
+        raise ValueError(f"unknown dataset_type {args.dataset_type}")
+
+    H, W, focal = hwf
+    return dict(
+        images=images.astype(np.float32),
+        poses=poses.astype(np.float32),
+        render_poses=np.asarray(render_poses, dtype=np.float32),
+        H=int(H), W=int(W), focal=float(focal),
+        i_train=i_train, i_val=i_val, i_val_internal=i_val_internal,
+        near=near, far=far, depth_gts=depth_gts,
+    )
+
+
+def _snapshot_args(args, rundir: str) -> None:
+    os.makedirs(rundir, exist_ok=True)
+    with open(os.path.join(rundir, "args.txt"), "w") as f:
+        for k in sorted(vars(args)):
+            f.write(f"{k} = {getattr(args, k)}\n")
+    if getattr(args, "config", None):
+        with open(os.path.join(rundir, "config.txt"), "w") as f:
+            f.write(open(args.config).read())
+
+
+def _save_video(frames: np.ndarray, path: str, fps: int = 30) -> None:
+    """mp4 if ffmpeg is available; falls back to per-frame PNGs."""
+    import imageio.v2 as imageio
+
+    try:
+        imageio.mimwrite(path, to8b(frames), fps=fps, quality=8)
+    except Exception as e:  # no ffmpeg backend
+        base = os.path.splitext(path)[0]
+        os.makedirs(base, exist_ok=True)
+        for i, fr in enumerate(frames):
+            imageio.imwrite(os.path.join(base, f"{i:03d}.png"), to8b(fr))
+        print(f"mp4 export unavailable ({e}); wrote PNG frames to {base}/")
+
+
+def render_path(
+    render_poses: np.ndarray,
+    scene: dict,
+    args,
+    render_rays_fn,
+    params,
+    savedir: Optional[str] = None,
+    render_factor: int = 0,
+):
+    """Render a pose path in test mode (intended render_path behavior,
+    reference :173-244 with its crashes fixed).
+
+    Returns (rgbs_mean (P,H,W,3), disps_mean (P,H,W), stds (P,H,W,3))."""
+    H, W, focal = scene["H"], scene["W"], scene["focal"]
+    if render_factor != 0:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+
+    import imageio.v2 as imageio
+
+    rgbs, disps, stds = [], [], []
+    for i, c2w in enumerate(np.asarray(render_poses)):
+        out = render_image(
+            render_rays_fn, params, jnp.asarray(c2w[:3, :4]),
+            H=H, W=W, focal=focal,
+            ndc=(args.dataset_type == "llff" and not args.no_ndc),
+            use_viewdirs=args.use_viewdirs,
+            near=scene["near"], far=scene["far"],
+            tile=args.chunk,
+        )
+        rgb_k = np.asarray(out["rgb_map"])  # (H, W, 3, K)
+        disp_k = np.asarray(out["disp_map"])
+        K = rgb_k.shape[-1]
+        rgbs.append(rgb_k.mean(-1))
+        disps.append(disp_k.mean(-1))
+        stds.append(rgb_k.std(-1) * K / max(K - 1, 1))
+        if savedir is not None:
+            imageio.imwrite(os.path.join(savedir, f"{i:03d}.png"), to8b(rgbs[-1]))
+            imageio.imwrite(
+                os.path.join(savedir, f"{i:03d}_std.png"),
+                to8b(stds[-1] / (stds[-1].max() + 1e-8)),
+            )
+    return np.stack(rgbs), np.stack(disps), np.stack(stds)
+
+
+def train(args) -> None:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
+    scene = load_dataset(args)
+    H, W, focal = scene["H"], scene["W"], scene["focal"]
+    print(f"Loaded {args.dataset_type} {scene['images'].shape} "
+          f"hwf=({H},{W},{focal:.1f}) near/far=({scene['near']:.3f},{scene['far']:.3f})")
+    print("TRAIN views are", scene["i_train"])
+    print("VAL views are", scene["i_val"])
+
+    rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
+    _snapshot_args(args, rundir)
+
+    model, render_config, params, start = create_nerf(args)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params:,}")
+
+    mesh = create_mesh(args.mesh_devices if args.mesh_devices > 0 else None)
+    n_data = mesh.shape["data"]
+
+    def model_apply(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    # test-mode renderer (perturb off comes from is_test; fixed-eps draws)
+    render_rays_test = make_render_rays(model_apply, render_config)
+
+    # --- render_only shortcut (reference :833-851) ---
+    if args.render_only:
+        print("RENDER ONLY")
+        render_poses = (
+            scene["poses"][scene["i_val"]] if args.render_test else scene["render_poses"]
+        )
+        tag = "test" if args.render_test else "path"
+        testsavedir = os.path.join(rundir, f"renderonly_{tag}_{start:06d}")
+        os.makedirs(testsavedir, exist_ok=True)
+        rgbs, disps, stds = render_path(
+            render_poses, scene, args, render_rays_test, params,
+            savedir=testsavedir, render_factor=args.render_factor,
+        )
+        _save_video(rgbs, os.path.join(testsavedir, "video.mp4"))
+        print("Done rendering", testsavedir)
+        return
+
+    # --- ray precompute (reference :859-919) ---
+    if args.N_rand % n_data != 0:
+        raise ValueError(
+            f"N_rand={args.N_rand} must be divisible by the mesh data axis ({n_data})"
+        )
+    rays_rgb_train = precompute_rays(
+        scene["images"], scene["poses"], focal, scene["i_train"], seed=args.seed
+    )
+    print("rays_rgb_train:", rays_rgb_train.shape)
+    train_batcher = RayBatcher(
+        rays_rgb_train, args.N_rand, seed=args.seed, mesh_divisor=n_data
+    )
+
+    depth_batcher = None
+    if args.colmap_depth:
+        rays_depth = precompute_depth_rays(
+            scene["depth_gts"], scene["poses"], H, W, focal, scene["i_train"],
+            seed=args.seed,
+        )
+        print("rays_depth:", rays_depth.shape)
+        depth_batcher = DepthRayBatcher(rays_depth, N_DEPTH, seed=args.seed)
+
+    # --- train step ---
+    tc = TrainConfig(
+        H=H, W=W, focal=focal,
+        ndc=(args.dataset_type == "llff" and not args.no_ndc),
+        near=scene["near"], far=scene["far"],
+        k_samples=args.K_samples,
+        lrate=args.lrate, lrate_decay=args.lrate_decay,
+        beta1=args.beta1,
+        colmap_depth=args.colmap_depth, depth_lambda=args.depth_lambda,
+    )
+    train_step, tx = make_train_step(model, render_config, tc, mesh=mesh)
+    opt_state = tx.init(params)
+
+    logger = MetricsLogger(args.basedir, args.dataname, args.expname)
+    rng = jax.random.PRNGKey(args.seed + start)
+
+    n_iters = args.n_iters + 1
+    print("Begin")
+    img_log_idx = 0
+    for i in range(start + 1, n_iters):
+        t0 = time.time()
+        batch = train_batcher.next()
+        if depth_batcher is not None:
+            batch.update(depth_batcher.next())
+            batch.pop("ray_weights")  # loaded-but-unused in the reference loss
+        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+        rng, krng = jax.random.split(rng)
+        params, opt_state, metrics = train_step(params, opt_state, batch, krng)
+
+        if i % args.i_weights == 0:
+            path = ckpt.save_checkpoint(rundir, i, params, opt_state, args.index_ensembles)
+            print("Saved checkpoints at", path)
+
+        if i % args.i_print == 0:
+            metrics = jax.device_get(metrics)
+            scalars = {
+                "train/loss": metrics["loss"],
+                "train/loss_nll": metrics["loss_nll"],
+                "train/logprob": metrics["loss_nll"],
+                "train/loss_entropy": metrics["loss_entropy"],
+                "train/mse": metrics["mse"],
+                "train/psnr": metrics["psnr"],
+                "train/pnsr": metrics["psnr"],  # reference dashboard alias
+                "iter_time": time.time() - t0,
+            }
+            if "depth_loss" in metrics:
+                scalars["train/depth_loss"] = metrics["depth_loss"]
+            logger.scalars(i, scalars)
+            logger.console(i, scalars, args.colmap_depth)
+
+        if args.i_img > 0 and i % args.i_img == 0 and i > start + 1:
+            for prefix, idx_list in (("train/", scene["i_train"]), ("val/", scene["i_val"])):
+                view = idx_list[img_log_idx % len(idx_list)]
+                out = render_image(
+                    render_rays_test, params, jnp.asarray(scene["poses"][view]),
+                    H=H, W=W, focal=focal, ndc=tc.ndc,
+                    use_viewdirs=args.use_viewdirs,
+                    near=scene["near"], far=scene["far"], tile=args.chunk,
+                )
+                logger.image_panel(
+                    i, prefix,
+                    gt=scene["images"][view],
+                    rgb_k=np.asarray(out["rgb_map"]),
+                    disp_k=np.asarray(out["disp_map"]),
+                )
+            img_log_idx += 1
+
+        if args.i_video > 0 and i % args.i_video == 0 and i > 0:
+            rgbs, disps, _ = render_path(
+                scene["render_poses"], scene, args, render_rays_test, params
+            )
+            moviebase = os.path.join(rundir, f"{args.expname}_spiral_{i:06d}_")
+            _save_video(rgbs, moviebase + "rgb.mp4")
+            _save_video(disps / (np.max(disps) + 1e-8), moviebase + "disp.mp4")
+
+    logger.close()
+    print("Training complete.")

@@ -1,0 +1,195 @@
+"""Config/flag system — configargparse-compatible without the dependency.
+
+Parity target: config_parser(), /root/reference/run_nerf_uncertainty_NF.py:556-719
+(the full ~60-flag surface) plus the `key = value` config-file format of
+configs/*.txt (e.g. /root/reference/configs/africa_ds.txt).  Precedence
+matches configargparse: defaults < config file < explicit CLI flags.
+
+The same flag names and semantics are accepted so reference launch scripts
+(train_NF.sh / test_NF.sh) port by changing only the entry-point module.
+"""
+from __future__ import annotations
+
+import argparse
+import shlex
+import sys
+from typing import List, Optional, Sequence
+
+
+def _parse_config_file(path: str) -> dict:
+    """Parse a `key = value` txt config (configargparse DefaultConfigFileParser
+    subset: comments with #/;, bare keys mean True)."""
+    values = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(("#", ";")):
+                continue
+            if "=" in line:
+                key, _, val = line.partition("=")
+                values[key.strip()] = val.strip()
+            else:
+                values[line] = "true"
+    return values
+
+
+class ConfigArgumentParser(argparse.ArgumentParser):
+    """argparse with a --config file layer (configargparse work-alike)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._config_flag_names = set()
+
+    def add_config_argument(self, *names, **kwargs):
+        self._config_flag_names.update(names)
+        kwargs.setdefault("help", "config file path")
+        return super().add_argument(*names, type=str, default=None)
+
+    def parse_args(self, args: Optional[Sequence[str]] = None, namespace=None):  # type: ignore[override]
+        if args is None:
+            args = sys.argv[1:]
+        args = list(args)
+
+        # find --config value without consuming other args
+        pre = argparse.ArgumentParser(add_help=False)
+        for name in self._config_flag_names or ("--config",):
+            pre.add_argument(name, type=str, default=None, dest="config")
+        known, _ = pre.parse_known_args(args)
+
+        ns = super().parse_args(args, namespace)
+        if getattr(known, "config", None):
+            file_vals = _parse_config_file(known.config)
+            explicit = self._explicit_dests(args)
+            str_actions = {a.dest: a for a in self._actions}
+            for key, raw in file_vals.items():
+                dest = key.replace("-", "_")
+                if dest not in str_actions or dest in explicit:
+                    continue
+                action = str_actions[dest]
+                setattr(ns, dest, self._coerce(action, raw))
+        return ns
+
+    def _explicit_dests(self, args: List[str]) -> set:
+        """Dests explicitly given on the CLI (these beat the config file)."""
+        explicit = set()
+        for a in self._actions:
+            for opt in a.option_strings:
+                if opt in args or any(x.startswith(opt + "=") for x in args):
+                    explicit.add(a.dest)
+        return explicit
+
+    @staticmethod
+    def _coerce(action: argparse.Action, raw: str):
+        raw_stripped = raw.strip().strip("'\"")
+        if isinstance(action, (argparse._StoreTrueAction, argparse._StoreFalseAction)):
+            return raw_stripped.lower() in ("true", "1", "yes")
+        if action.type is not None:
+            return action.type(raw_stripped)
+        return raw_stripped
+
+
+def config_parser() -> ConfigArgumentParser:
+    """The full reference flag surface (run_nerf_uncertainty_NF.py:556-719)."""
+    parser = ConfigArgumentParser()
+    parser.add_config_argument("--config")
+    parser.add_argument("--expname", type=str, help="experiment name")
+    parser.add_argument("--dataname", type=str, default="leaves", help="data name")
+    parser.add_argument("--basedir", type=str, default="./logs/", help="where to store ckpts and logs")
+    parser.add_argument("--datadir", type=str, default="./data/llff/fern", help="input data directory")
+
+    # training options
+    parser.add_argument("--is_train", action="store_true", help="train or evaluate")
+    parser.add_argument("--uniformsample", action="store_true", help="use uniform z samples")
+    parser.add_argument("--optimize_global", action="store_true")
+    parser.add_argument("--optimize_skip", type=int, default=2)
+    parser.add_argument("--use_prior", action="store_true")
+    parser.add_argument("--netdepth", type=int, default=8, help="layers in network")
+    parser.add_argument("--netwidth", type=int, default=256, help="channels per layer")
+    parser.add_argument("--netdepth_fine", type=int, default=8)
+    parser.add_argument("--netwidth_fine", type=int, default=256)
+
+    parser.add_argument("--model", type=str, default=None, help="model name")
+    parser.add_argument("--N_rand", type=int, default=512, help="rays per gradient step")
+    parser.add_argument("--lrate", type=float, default=5e-4)
+    parser.add_argument("--lrate_unc", type=float, default=5e-4)
+    parser.add_argument("--lrate_decay", type=int, default=250, help="exp lr decay (in 1000 steps)")
+    parser.add_argument("--chunk", type=int, default=1024 * 8, help="eval-render ray tile size")
+    parser.add_argument("--netchunk_per_gpu", type=int, default=1024 * 64,
+                        help="accepted for launch-script compatibility; the TPU path has no netchunk loop")
+    parser.add_argument("--no_batching", action="store_true", help="sample rays from one image at a time")
+    parser.add_argument("--no_reload", action="store_true")
+    parser.add_argument("--ft_path", type=str, default=None)
+
+    # flow options
+    parser.add_argument("--type_flows", type=str, default="no_flow",
+                        choices=["planar", "IAF", "realnvp", "glow", "orthogonal",
+                                 "householder", "triangular", "no_flow"])
+    parser.add_argument("--n_flows", type=int, default=4)
+    parser.add_argument("--n_hidden", type=int, default=128)
+    parser.add_argument("--h_alpha_size", type=int, default=32)
+    parser.add_argument("--h_rgb_size", type=int, default=64)
+    parser.add_argument("--z_size", type=int, default=4)
+
+    # rendering options
+    parser.add_argument("--N_samples", type=int, default=64)
+    parser.add_argument("--K_samples", type=int, default=64)
+    parser.add_argument("--N_importance", type=int, default=0)
+    parser.add_argument("--perturb", type=float, default=1.0)
+    parser.add_argument("--use_viewdirs", action="store_true")
+    parser.add_argument("--i_embed", type=int, default=0)
+    parser.add_argument("--multires", type=int, default=10)
+    parser.add_argument("--multires_views", type=int, default=4)
+    parser.add_argument("--raw_noise_std", type=float, default=0.0)
+
+    parser.add_argument("--render_only", action="store_true")
+    parser.add_argument("--render_test", action="store_true")
+    parser.add_argument("--render_factor", type=int, default=0)
+
+    # loss weights / precrop
+    parser.add_argument("--beta1", type=float, default=0.0)
+    parser.add_argument("--beta_u", type=float, default=0.1)
+    parser.add_argument("--beta_p", type=float, default=0.05)
+    parser.add_argument("--precrop_iters", type=int, default=0)
+    parser.add_argument("--precrop_frac", type=float, default=0.5)
+
+    parser.add_argument("--colmap_depth", action="store_true")
+    parser.add_argument("--depth_lambda", type=float, default=0.1)
+
+    # dataset options
+    parser.add_argument("--dataset_type", type=str, default="llff")
+    parser.add_argument("--testskip", type=int, default=8)
+    parser.add_argument("--shape", type=str, default="greek")
+    parser.add_argument("--white_bkgd", action="store_true")
+    parser.add_argument("--half_res", action="store_true")
+    parser.add_argument("--factor", type=int, default=8)
+    parser.add_argument("--no_ndc", action="store_true")
+    parser.add_argument("--lindisp", action="store_true")
+    parser.add_argument("--spherify", action="store_true")
+    parser.add_argument("--llffhold", type=int, default=8)
+
+    # logging/saving options
+    parser.add_argument("--i_print", type=int, default=100)
+    parser.add_argument("--i_img", type=int, default=1000)
+    parser.add_argument("--i_weights", type=int, default=10000)
+    parser.add_argument("--i_testset", type=int, default=10000000)
+    parser.add_argument("--i_video", type=int, default=5000000)
+
+    # ensemble settings
+    parser.add_argument("--index_ensembles", type=int, default=1)
+    parser.add_argument("--index_step", type=int, default=-1)
+
+    # --- TPU-native extensions (not in the reference) ---
+    parser.add_argument("--n_iters", type=int, default=100000, help="training iterations")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"], help="MLP trunk matmul dtype")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="devices in the data mesh (0 = all)")
+    parser.add_argument("--seed", type=int, default=0, help="global PRNG seed")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (numerics sanitizer; the "
+                             "reference runs torch anomaly mode globally)")
+    return parser
+
+
+def parse_args(argv: Optional[Sequence[str]] = None):
+    return config_parser().parse_args(argv)

@@ -1,0 +1,86 @@
+"""End-to-end smoke: the CLI train path on a tiny synthetic blender scene,
+then checkpoint resume and render_only — the de-facto integration test the
+reference only had as shell scripts (SURVEY.md section 4)."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.datagen import make_blender_dataset, make_llff_dataset
+
+from cfnerf_tpu.utils.config import parse_args
+from cfnerf_tpu.train.loop import train
+
+
+def _base_args(datadir, basedir, extra=()):
+    return parse_args(
+        [
+            "--expname", "t", "--dataname", "tiny", "--basedir", basedir,
+            "--datadir", datadir, "--dataset_type", "blender",
+            "--N_rand", "32", "--N_samples", "16", "--K_samples", "4",
+            "--n_flows", "2", "--h_alpha_size", "8", "--h_rgb_size", "8",
+            "--netdepth", "2", "--netwidth", "32",
+            "--type_flows", "triangular", "--beta1", "0.01",
+            "--use_viewdirs", "--white_bkgd", "--no_ndc",
+            "--n_iters", "12", "--i_print", "5", "--i_weights", "10",
+            "--i_img", "0", "--chunk", "64",
+            "--is_train", *extra,
+        ]
+    )
+
+
+def test_blender_train_ckpt_resume_render(tmp_path):
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+
+    args = _base_args(datadir, basedir)
+    train(args)
+
+    rundir = os.path.join(basedir, "tiny", "triangular", "t")
+    assert os.path.exists(os.path.join(rundir, "args.txt"))
+    ckpts = glob.glob(os.path.join(rundir, "0000*"))
+    assert any(c.endswith("000010_01") for c in ckpts), ckpts
+
+    # metrics were logged
+    mfile = os.path.join(basedir, "tiny", "summaries", "t", "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mfile)]
+    assert any("train/loss" in r for r in recs)
+    assert all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
+
+    # resume: starts from step 10 and runs to 12 again (no crash, new ckpt dir kept)
+    args2 = _base_args(datadir, basedir)
+    train(args2)
+
+    # render_only on the trained weights
+    args3 = _base_args(datadir, basedir, extra=["--render_test", "--render_factor", "2"])
+    args3.is_train = False
+    args3.render_only = True
+    train(args3)
+    outdirs = glob.glob(os.path.join(rundir, "renderonly_test_*"))
+    assert outdirs
+    pngs = glob.glob(os.path.join(outdirs[0], "*.png"))
+    assert pngs  # rgb + std images written
+
+
+@pytest.mark.slow
+def test_llff_train_smoke(tmp_path):
+    datadir = make_llff_dataset(str(tmp_path / "scene"), H=8, W=8, n_images=6)
+    basedir = str(tmp_path / "logs")
+    args = parse_args(
+        [
+            "--expname", "l", "--dataname", "fern", "--basedir", basedir,
+            "--datadir", datadir, "--dataset_type", "llff", "--factor", "1",
+            "--no_ndc", "--llffhold", "3",
+            "--N_rand", "16", "--N_samples", "16", "--K_samples", "4",
+            "--n_flows", "2", "--h_alpha_size", "8", "--h_rgb_size", "8",
+            "--netdepth", "2", "--netwidth", "16",
+            "--type_flows", "triangular", "--use_viewdirs",
+            "--n_iters", "4", "--i_print", "2", "--i_weights", "100",
+            "--i_img", "0", "--chunk", "64", "--is_train",
+        ]
+    )
+    train(args)
+    mfile = os.path.join(basedir, "fern", "summaries", "l", "metrics.jsonl")
+    assert os.path.exists(mfile)
