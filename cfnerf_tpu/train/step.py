@@ -49,6 +49,10 @@ class TrainConfig:
     beta1: float = 0.0
     colmap_depth: bool = False
     depth_lambda: float = 0.1
+    # rematerialize the model forward in the backward pass: trades ~30%
+    # recompute for O(depth) activation memory, the standard TPU HBM lever
+    # for scaling the ray batch (SURVEY.md sec. "HBM bandwidth")
+    remat: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -80,6 +84,17 @@ def make_train_step(
 
     def model_apply(params, x, *, is_test, rng):
         return model.apply({"params": params}, x, is_test=is_test, rng=rng)
+
+    if cfg.remat:
+        _base_apply = model_apply
+        _ckpt_train_apply = jax.checkpoint(
+            lambda params, x, rng: _base_apply(params, x, is_test=False, rng=rng)
+        )
+
+        def model_apply(params, x, *, is_test, rng):  # noqa: F811
+            if is_test:
+                return _base_apply(params, x, is_test=True, rng=rng)
+            return _ckpt_train_apply(params, x, rng)
 
     render_rays_fn = make_render_rays(model_apply, render_config)
 
