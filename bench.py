@@ -3,11 +3,16 @@
 Runs the flagship configuration from the reference launch script
 (/root/reference/train_NF.sh: D=8, W=512, N_samples=128 with the 96+32
 schedule, K=32 Monte-Carlo draws, 4 triangular Sylvester flows,
-h_alpha=h_rgb=64) as the single jitted train step, scanning the ray batch
-size for the best sustained throughput on one chip, then prints ONE JSON
-line.  vs_baseline is measured against the 1M rays/sec/chip north-star
-from BASELINE.json (the reference publishes no benchmark numbers —
-BASELINE.md).
+h_alpha=h_rgb=64) with the device-resident scan trainer (n_inner optimizer
+steps per dispatch), scanning the ray batch size for best sustained
+throughput on one chip, then prints ONE JSON line.
+
+Timing methodology: a concrete loss VALUE is fetched after the timed
+region — on remote-tunneled runtimes block_until_ready() can return before
+execution finishes, so only a value fetch is an honest fence.
+
+vs_baseline is measured against the 1M rays/sec/chip north-star from
+BASELINE.json (the reference publishes no benchmark numbers — BASELINE.md).
 """
 from __future__ import annotations
 
@@ -18,20 +23,22 @@ import time
 import numpy as np
 
 
-def make_batch(R, rng):
+def make_batches(R, n_inner, rng):
     import jax.numpy as jnp
 
     return {
-        "rays_o": jnp.asarray(rng.randn(R, 3), jnp.float32),
+        "rays_o": jnp.asarray(rng.randn(n_inner, R, 3), jnp.float32),
         "rays_d": jnp.asarray(
-            np.concatenate([rng.randn(R, 2) * 0.05, -np.ones((R, 1))], -1),
+            np.concatenate(
+                [rng.randn(n_inner, R, 2) * 0.05, -np.ones((n_inner, R, 1))], -1
+            ),
             jnp.float32,
         ),
-        "target": jnp.asarray(rng.rand(R, 3), jnp.float32),
+        "target": jnp.asarray(rng.rand(n_inner, R, 3), jnp.float32),
     }
 
 
-def bench_train(batch_size: int, *, steps: int = 20, warmup: int = 3,
+def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
                 compute_dtype: str = "bfloat16", remat: bool = True,
                 k_samples: int = 32, n_samples: int = 128) -> float:
     import jax
@@ -39,7 +46,7 @@ def bench_train(batch_size: int, *, steps: int = 20, warmup: int = 3,
 
     from cfnerf_tpu.models.nerf_flows import NeRFFlows
     from cfnerf_tpu.render.renderer import RenderConfig
-    from cfnerf_tpu.train.step import TrainConfig, make_train_step
+    from cfnerf_tpu.train.step import TrainConfig, make_train_loop
 
     model = NeRFFlows(
         net_depth=8, net_width=512, input_ch=63, input_ch_views=27,
@@ -52,57 +59,62 @@ def bench_train(batch_size: int, *, steps: int = 20, warmup: int = 3,
         H=512, W=512, focal=500.0, ndc=False, near=0.5, far=4.0,
         k_samples=k_samples, beta1=0.01, remat=remat,
     )
-    train_step, tx = make_train_step(model, rc, tc, mesh=None)
+    train_loop, tx = make_train_loop(model, rc, tc, mesh=None, n_inner=n_inner)
 
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((2, 90), jnp.float32), is_test=True
     )["params"]
     opt_state = tx.init(params)
 
-    rng_np = np.random.RandomState(0)
-    batch = make_batch(batch_size, rng_np)
+    batches = make_batches(batch_size, n_inner, np.random.RandomState(0))
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup
-    import jax.random as jrandom
-    for i in range(warmup):
-        key, k = jrandom.split(key)
-        params, opt_state, metrics = train_step(params, opt_state, batch, k)
-    jax.block_until_ready(metrics)
+    # compile + warmup round; the float() fetch is the only honest fence
+    params, opt_state, metrics = train_loop(params, opt_state, batches, key)
+    _ = float(metrics["loss"][-1])
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key, k = jrandom.split(key)
-        params, opt_state, metrics = train_step(params, opt_state, batch, k)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        params, opt_state, metrics = train_loop(params, opt_state, batches, key)
+        _ = float(metrics["loss"][-1])
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * n_inner / dt)
+    return best
 
 
 def main():
-    results = {}
     best = 0.0
     best_cfg = None
-    for batch_size in (512, 1024, 2048, 4096, 8192):
+    for batch_size, remat in ((2048, False), (4096, False), (8192, False)):
         try:
-            rps = bench_train(batch_size)
-            results[batch_size] = rps
-            print(f"# batch={batch_size}: {rps:,.0f} rays/s", file=sys.stderr)
+            rps = bench_train(batch_size, remat=remat)
+            print(f"# batch={batch_size} remat={remat}: {rps:,.0f} rays/s", file=sys.stderr)
             if rps > best:
-                best, best_cfg = rps, batch_size
-            if rps < best * 0.7:  # throughput falling off — stop scanning
+                best, best_cfg = rps, (batch_size, remat)
+            if rps < best * 0.7:
                 break
-        except Exception as e:  # OOM at this batch size
-            print(f"# batch={batch_size}: failed ({type(e).__name__})", file=sys.stderr)
+        except Exception as e:
+            print(f"# batch={batch_size} remat={remat}: failed ({type(e).__name__})",
+                  file=sys.stderr)
+            # retry once with rematerialization (halves activation memory)
+            try:
+                rps = bench_train(batch_size, remat=True)
+                print(f"# batch={batch_size} remat=True: {rps:,.0f} rays/s", file=sys.stderr)
+                if rps > best:
+                    best, best_cfg = rps, (batch_size, True)
+            except Exception:
+                break
             break
 
     baseline = 1_000_000.0  # north-star rays/sec/chip (BASELINE.json)
+    bc, br = best_cfg if best_cfg else (0, False)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),
         "unit": "rays/s",
         "vs_baseline": round(best / baseline, 4),
-        "config": f"D8 W512 N128 K32 flows4 bf16 remat batch={best_cfg}",
+        "config": f"D8 W512 N128 K32 flows4 bf16 batch={bc} remat={br} scan10",
     }))
 
 

@@ -136,6 +136,70 @@ class RayBatcher:
         return {"rays_o": b[:, 0], "rays_d": b[:, 1], "target": b[:, 2]}
 
 
+class SingleImageSampler:
+    """--no_batching path: each step samples N_rand random pixels from ONE
+    random training image, with optional central-crop warmup
+    (reference :979-1007 — precrop_iters/precrop_frac train on the center
+    of the image first so white-background synthetic scenes don't collapse).
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,     # (N, H, W, 3)
+        poses: np.ndarray,      # (N, 3, 4+)
+        focal: float,
+        i_train: List[int],
+        batch_size: int,
+        *,
+        precrop_iters: int = 0,
+        precrop_frac: float = 0.5,
+        seed: int = 0,
+    ):
+        self.images = images
+        self.poses = poses
+        self.focal = focal
+        self.i_train = list(i_train)
+        self.batch_size = batch_size
+        self.precrop_iters = precrop_iters
+        self.precrop_frac = precrop_frac
+        self._rng = np.random.RandomState(seed + 777)
+        H, W = images.shape[1:3]
+        self._ray_cache = {}
+        self.H, self.W = H, W
+
+    def _rays_for(self, img_i: int):
+        if img_i not in self._ray_cache:
+            self._ray_cache[img_i] = get_rays_np(
+                self.H, self.W, self.focal, self.poses[img_i, :3, :4]
+            )
+        return self._ray_cache[img_i]
+
+    def next(self, step: int) -> Dict[str, np.ndarray]:
+        img_i = self._rng.choice(self.i_train)
+        rays_o, rays_d = self._rays_for(img_i)
+        H, W = self.H, self.W
+        if step < self.precrop_iters:
+            dH = int(H // 2 * self.precrop_frac)
+            dW = int(W // 2 * self.precrop_frac)
+            ys = np.arange(H // 2 - dH, H // 2 + dH)
+            xs = np.arange(W // 2 - dW, W // 2 + dW)
+        else:
+            ys = np.arange(H)
+            xs = np.arange(W)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        coords = np.stack([yy.reshape(-1), xx.reshape(-1)], -1)
+        sel = self._rng.choice(
+            coords.shape[0], size=self.batch_size,
+            replace=coords.shape[0] < self.batch_size,
+        )
+        c = coords[sel]
+        return {
+            "rays_o": rays_o[c[:, 0], c[:, 1]].astype(np.float32),
+            "rays_d": rays_d[c[:, 0], c[:, 1]].astype(np.float32),
+            "target": self.images[img_i][c[:, 0], c[:, 1]].astype(np.float32),
+        }
+
+
 class DepthRayBatcher:
     """Same, over [(M), 4, 3] depth rays; yields depth_rays_o/d,
     target_depth, ray_weights (loaded-but-unused in the reference loss —

@@ -48,24 +48,50 @@ def triangular_sylvester_step(
     det(I + P^T R1 D R2 P) = det(I + R1 D R2) and upper * diag * upper is
     upper-triangular, so the determinant is the product of
     1 + diag(R1)_i * D_ii * diag(R2)_i with D = diag(tanh'(R2 P z + b)).
+
+    TPU performance note: Z is 1 (density) or 3 (RGB), so a batched
+    (B, Z, Z) x (B, K, Z) contraction would lower to millions of tiny
+    dot_generals — catastrophic on the MXU (measured: the einsum
+    formulation made the flow stack 90% of the train step).  Instead the
+    Z axis is UNROLLED at trace time into (B, K)-shaped elementwise FMA
+    chains on the VPU, exploiting the strict upper-triangularity (j >= i
+    terms only).
     """
-    z_per = z[..., ::-1] if flip else z
-    # (B, K, Z) x (B, Z, Z): pre_i = sum_j r2[i, j] * z_j  (+ b_i)
-    pre = jnp.einsum("bkj,bij->bki", z_per, r2) + b[:, None, :]
-    t = jnp.tanh(pre)
-    upd = jnp.einsum("bkj,bij->bki", t, r1)
-    if flip:
-        upd = upd[..., ::-1]
-    z_new = z + upd
+    Z = z.shape[-1]
+    # unstack z into Z (B, K) component arrays (permuted view if flipped)
+    zs = [z[..., (Z - 1 - i) if flip else i] for i in range(Z)]
+
+    def coef(mat, i, j):
+        return mat[:, i, j][:, None]  # (B, 1) broadcasts over K
+
+    # pre_i = b_i + sum_{j>=i} r2[i,j] * z_j
+    ts = []
+    for i in range(Z):
+        pre = b[:, i][:, None]
+        for j in range(i, Z):
+            pre = pre + coef(r2, i, j) * zs[j]
+        ts.append(jnp.tanh(pre))
+
+    # upd_i = sum_{j>=i} r1[i,j] * t_j ; permute back if flipped
+    z_new_cols = []
+    for i in range(Z):
+        upd = coef(r1, i, i) * ts[i]
+        for j in range(i + 1, Z):
+            upd = upd + coef(r1, i, j) * ts[j]
+        out_idx = (Z - 1 - i) if flip else i
+        z_new_cols.append((out_idx, z[..., out_idx] + upd))
+    z_new_cols.sort(key=lambda p: p[0])
+    z_new = jnp.stack([c for _, c in z_new_cols], axis=-1)
 
     if not compute_log_det:
         return z_new, jnp.zeros(z.shape[:-1], dtype=z.dtype)
 
-    diag_r1 = jnp.diagonal(r1, axis1=-2, axis2=-1)  # (B, Z)
-    diag_r2 = jnp.diagonal(r2, axis1=-2, axis2=-1)  # (B, Z)
-    der_tanh = 1.0 - t ** 2  # (B, K, Z), tanh'(pre)
-    diag_j = der_tanh * (diag_r1 * diag_r2)[:, None, :] + 1.0
-    log_det = jnp.log(jnp.abs(diag_j) + LOGDET_EPS).sum(-1)  # (B, K)
+    log_det = None
+    for i in range(Z):
+        der = 1.0 - ts[i] ** 2  # tanh'(pre_i), (B, K)
+        dj = der * (coef(r1, i, i) * coef(r2, i, i)) + 1.0
+        term = jnp.log(jnp.abs(dj) + LOGDET_EPS)
+        log_det = term if log_det is None else log_det + term
     return z_new, log_det
 
 

@@ -32,23 +32,32 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
     skips = (args.netdepth // 2,)  # reference: [netdepth/2] (:327)
     compute_dtype = jnp.bfloat16 if getattr(args, "compute_dtype", "float32") == "bfloat16" else jnp.float32
 
-    model = NeRFFlows(
-        net_depth=args.netdepth,
-        net_width=args.netwidth,
-        input_ch=input_ch,
-        input_ch_views=input_ch_views,
-        skips=skips,
-        h_alpha_size=args.h_alpha_size,
-        h_rgb_size=args.h_rgb_size,
-        n_flows=args.n_flows,
-        k_samples=args.K_samples,
-        use_viewdirs=args.use_viewdirs,
-        type_flows=args.type_flows,
-        compute_dtype=compute_dtype,
-    )
+    def _mk(depth, width):
+        return NeRFFlows(
+            net_depth=depth,
+            net_width=width,
+            input_ch=input_ch,
+            input_ch_views=input_ch_views,
+            skips=(depth // 2,),
+            h_alpha_size=args.h_alpha_size,
+            h_rgb_size=args.h_rgb_size,
+            n_flows=args.n_flows,
+            k_samples=args.K_samples,
+            use_viewdirs=args.use_viewdirs,
+            type_flows=args.type_flows,
+            compute_dtype=compute_dtype,
+        )
+
+    model = _mk(args.netdepth, args.netwidth)
+    model_fine = None
+    if args.N_importance > 0:
+        # hierarchical fine network (the reference's N_importance flag
+        # surface; netdepth_fine/netwidth_fine knobs, :586-589)
+        model_fine = _mk(args.netdepth_fine, args.netwidth_fine)
 
     render_config = RenderConfig(
         n_samples=args.N_samples,
+        n_importance=args.N_importance,
         perturb=args.perturb > 0,
         lindisp=getattr(args, "lindisp", False),
         use_viewdirs=args.use_viewdirs,
@@ -59,7 +68,7 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
         multires_views=args.multires_views,
         i_embed=args.i_embed,
     )
-    return model, render_config
+    return model, model_fine, render_config
 
 
 def init_params(model: NeRFFlows, seed: int = 0) -> Any:
@@ -67,10 +76,19 @@ def init_params(model: NeRFFlows, seed: int = 0) -> Any:
     return model.init(jax.random.PRNGKey(seed), x, is_test=True)["params"]
 
 
-def create_nerf(args) -> Tuple[NeRFFlows, RenderConfig, Any, int]:
-    """Build + auto-resume. Returns (model, render_config, params, start_step)."""
-    model, render_config = build_model(args)
+def create_nerf(args):
+    """Build + auto-resume.
+
+    Returns (model, model_fine, render_config, params, start_step); params
+    is the raw coarse pytree when N_importance == 0, else
+    {"coarse": ..., "fine": ...}."""
+    model, model_fine, render_config = build_model(args)
     params = init_params(model, getattr(args, "seed", 0))
+    if model_fine is not None:
+        params = {
+            "coarse": params,
+            "fine": init_params(model_fine, getattr(args, "seed", 0) + 1),
+        }
 
     rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
     start = 0
@@ -86,4 +104,4 @@ def create_nerf(args) -> Tuple[NeRFFlows, RenderConfig, Any, int]:
             print("No reloading")
     else:
         print("No reloading")
-    return model, render_config, params, start
+    return model, model_fine, render_config, params, start

@@ -49,7 +49,7 @@ def sparsification_plot(
     err_sorted = np.sort(err_vec)
     ause_err = []
     for r in ratio_removed:
-        sl = err_sorted[: int((1 - r) * n)]
+        sl = err_sorted[: max(1, int((1 - r) * n))]  # keep >= 1 pixel
         ause_err.append(np.sqrt(sl.mean()) if err_type == "rmse" else sl.mean())
     ause_err = np.array(ause_err)
 
@@ -61,7 +61,7 @@ def sparsification_plot(
     err_by_var = err_vec[order]
     ause_err_by_var = []
     for r in ratio_removed:
-        sl = err_by_var[: int((1 - r) * n)]
+        sl = err_by_var[: max(1, int((1 - r) * n))]
         ause_err_by_var.append(np.sqrt(sl.mean()) if err_type == "rmse" else sl.mean())
     return ause_err, np.array(ause_err_by_var)
 

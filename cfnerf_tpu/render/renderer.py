@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from cfnerf_tpu.ops.compositing import raw2outputs
 from cfnerf_tpu.ops.embed import Embedder
 from cfnerf_tpu.ops.rays import get_rays, ndc_rays
-from cfnerf_tpu.ops.sampling import sample_z_vals, stratified_perturb
+from cfnerf_tpu.ops.sampling import sample_pdf, sample_z_vals, stratified_perturb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,6 +30,7 @@ class RenderConfig:
     """Static rendering configuration (hashable -> safe to close over jit)."""
 
     n_samples: int = 128
+    n_importance: int = 0  # fine-pass samples (hierarchical, nerf-pytorch style)
     perturb: bool = True
     lindisp: bool = False
     use_viewdirs: bool = True
@@ -58,6 +59,7 @@ class RenderConfig:
 def make_render_rays(
     model_apply: Callable[..., Tuple[jnp.ndarray, jnp.ndarray]],
     config: RenderConfig,
+    model_apply_fine: Optional[Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]] = None,
 ) -> Callable[..., Dict[str, jnp.ndarray]]:
     """Build the fused per-batch renderer.
 
@@ -68,8 +70,29 @@ def make_render_rays(
     -> composite.  `is_test` is a static python bool (two compiled variants:
     train uses fresh shared-K eps + entropy; test uses fixed eps, no jitter
     handled by the caller passing perturb=False via config).
+
+    With config.n_importance > 0 a hierarchical fine pass runs: inverse-CDF
+    resampling (sample_pdf) of n_importance extra depths from the coarse
+    weights (mean over K, gradient-stopped), then a second model query —
+    the capability the reference declares via its N_importance flag but
+    never implemented (SURVEY.md section 2 defects; nerf-pytorch semantics).
+    Coarse outputs are returned as rgb0/disp0/depth0/loss_entropy0.
     """
     embedder, embedder_dirs = config.embedders()
+
+    def _query(apply_fn, params, z_vals, rays_o, rays_d, viewdirs, rng_eps, is_test):
+        R, S = z_vals.shape
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        emb = embedder(pts.reshape(R * S, 3))
+        if config.use_viewdirs and viewdirs is not None:
+            emb_dirs = embedder_dirs(viewdirs)  # (R, Dv)
+            emb_dirs = jnp.broadcast_to(
+                emb_dirs[:, None, :], (R, S, emb_dirs.shape[-1])
+            ).reshape(R * S, -1)
+            emb = jnp.concatenate([emb, emb_dirs], -1)
+        raw_flat, loss_entropy = apply_fn(params, emb, is_test=is_test, rng=rng_eps)
+        K = raw_flat.shape[-2]
+        return raw_flat.reshape(R, S, K, 4), loss_entropy
 
     def render_rays(
         params: Any,
@@ -90,42 +113,63 @@ def make_render_rays(
         )
         z_vals = jnp.broadcast_to(z_vals, (R, S))
 
-        rng_z = rng_eps = rng_noise = None
+        rng_z = rng_eps = rng_noise = rng_pdf = rng_eps_f = None
         if rng is not None:
-            rng_z, rng_eps, rng_noise = jax.random.split(rng, 3)
+            rng_z, rng_eps, rng_noise, rng_pdf, rng_eps_f = jax.random.split(rng, 5)
         if config.perturb and not is_test and rng_z is not None:
             z_vals = stratified_perturb(z_vals, rng_z)
 
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # (R, S, 3)
-        emb = embedder(pts.reshape(R * S, 3))
-        if config.use_viewdirs and viewdirs is not None:
-            emb_dirs = embedder_dirs(viewdirs)  # (R, Dv)
-            emb_dirs = jnp.broadcast_to(
-                emb_dirs[:, None, :], (R, S, emb_dirs.shape[-1])
-            ).reshape(R * S, -1)
-            emb = jnp.concatenate([emb, emb_dirs], -1)
-
-        raw_flat, loss_entropy = model_apply(params, emb, is_test=is_test, rng=rng_eps)
-        K = raw_flat.shape[-2]
-        raw = raw_flat.reshape(R, S, K, 4)
+        coarse_params = params["coarse"] if config.n_importance > 0 else params
+        raw, loss_entropy = _query(
+            model_apply, coarse_params, z_vals, rays_o, rays_d, viewdirs,
+            rng_eps, is_test,
+        )
 
         rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
-            raw,
-            z_vals,
-            rays_d,
+            raw, z_vals, rays_d,
             raw_noise_std=config.raw_noise_std,
             white_bkgd=config.white_bkgd,
             rng=rng_noise,
             apply_noise=config.apply_noise,
         )
 
-        out = {
-            "rgb_map": rgb_map,       # (R, 3, K)
-            "disp_map": disp_map,     # (R, K)
-            "depth_map": depth_map,   # (R, K)
-            "acc_map": acc_map,       # (R, K)
-            "loss_entropy": loss_entropy,
-        }
+        out: Dict[str, jnp.ndarray] = {}
+        if config.n_importance > 0:
+            out.update(
+                rgb0=rgb_map, disp0=disp_map, depth0=depth_map,
+                loss_entropy0=loss_entropy,
+            )
+            # importance-resample from the coarse density (mean over K)
+            w_mean = jax.lax.stop_gradient(weights.mean(-1))  # (R, S)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(
+                z_mid, w_mean[..., 1:-1], config.n_importance,
+                rng_pdf, det=(not config.perturb) or is_test or rng_pdf is None,
+            )
+            z_samples = jax.lax.stop_gradient(z_samples)
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+
+            fine_apply = model_apply_fine or model_apply
+            fine_params = params["fine"] if model_apply_fine else coarse_params
+            raw, loss_entropy = _query(
+                fine_apply, fine_params, z_vals, rays_o, rays_d, viewdirs,
+                rng_eps_f, is_test,
+            )
+            rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
+                raw, z_vals, rays_d,
+                raw_noise_std=config.raw_noise_std,
+                white_bkgd=config.white_bkgd,
+                rng=rng_noise,
+                apply_noise=config.apply_noise,
+            )
+
+        out.update(
+            rgb_map=rgb_map,       # (R, 3, K)
+            disp_map=disp_map,     # (R, K)
+            depth_map=depth_map,   # (R, K)
+            acc_map=acc_map,       # (R, K)
+            loss_entropy=loss_entropy,
+        )
         if not is_test:
             out["weights"] = weights
         return out

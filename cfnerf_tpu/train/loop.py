@@ -32,6 +32,7 @@ from cfnerf_tpu.data.llff import load_colmap_depth, load_llff_data
 from cfnerf_tpu.data.sampler import (
     DepthRayBatcher,
     RayBatcher,
+    SingleImageSampler,
     lf_scene_splits,
     precompute_depth_rays,
     precompute_rays,
@@ -176,7 +177,7 @@ def train(args) -> None:
     rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
     _snapshot_args(args, rundir)
 
-    model, render_config, params, start = create_nerf(args)
+    model, model_fine, render_config, params, start = create_nerf(args)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"model params: {n_params:,}")
 
@@ -186,8 +187,13 @@ def train(args) -> None:
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)
 
+    fine_apply = None
+    if model_fine is not None:
+        def fine_apply(p, x, *, is_test, rng):
+            return model_fine.apply({"params": p}, x, is_test=is_test, rng=rng)
+
     # test-mode renderer (perturb off comes from is_test; fixed-eps draws)
-    render_rays_test = make_render_rays(model_apply, render_config)
+    render_rays_test = make_render_rays(model_apply, render_config, fine_apply)
 
     # --- render_only shortcut (reference :833-851) ---
     if args.render_only:
@@ -211,16 +217,25 @@ def train(args) -> None:
         raise ValueError(
             f"N_rand={args.N_rand} must be divisible by the mesh data axis ({n_data})"
         )
-    rays_rgb_train = precompute_rays(
-        scene["images"], scene["poses"], focal, scene["i_train"], seed=args.seed
-    )
-    print("rays_rgb_train:", rays_rgb_train.shape)
-    train_batcher = RayBatcher(
-        rays_rgb_train, args.N_rand, seed=args.seed, mesh_divisor=n_data
-    )
+    use_batching = not args.no_batching
+    if use_batching:
+        rays_rgb_train = precompute_rays(
+            scene["images"], scene["poses"], focal, scene["i_train"], seed=args.seed
+        )
+        print("rays_rgb_train:", rays_rgb_train.shape)
+        train_batcher = RayBatcher(
+            rays_rgb_train, args.N_rand, seed=args.seed, mesh_divisor=n_data
+        )
+    else:
+        # --no_batching: sample from one image per step with precrop warmup
+        train_batcher = SingleImageSampler(
+            scene["images"], scene["poses"], focal, scene["i_train"], args.N_rand,
+            precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
+            seed=args.seed,
+        )
 
     depth_batcher = None
-    if args.colmap_depth:
+    if args.colmap_depth and use_batching:
         rays_depth = precompute_depth_rays(
             scene["depth_gts"], scene["poses"], H, W, focal, scene["i_train"],
             seed=args.seed,
@@ -238,7 +253,9 @@ def train(args) -> None:
         beta1=args.beta1,
         colmap_depth=args.colmap_depth, depth_lambda=args.depth_lambda,
     )
-    train_step, tx = make_train_step(model, render_config, tc, mesh=mesh)
+    train_step, tx = make_train_step(
+        model, render_config, tc, mesh=mesh, model_fine=model_fine
+    )
     opt_state = tx.init(params)
 
     logger = MetricsLogger(args.basedir, args.dataname, args.expname)
@@ -249,7 +266,7 @@ def train(args) -> None:
     img_log_idx = 0
     for i in range(start + 1, n_iters):
         t0 = time.time()
-        batch = train_batcher.next()
+        batch = train_batcher.next(i) if not use_batching else train_batcher.next()
         if depth_batcher is not None:
             batch.update(depth_batcher.next())
             batch.pop("ray_weights")  # loaded-but-unused in the reference loss

@@ -65,11 +65,31 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(schedule, b1=0.9, b2=0.999)
 
 
+def _make_apply(model, remat: bool):
+    def model_apply(params, x, *, is_test, rng):
+        return model.apply({"params": params}, x, is_test=is_test, rng=rng)
+
+    if not remat:
+        return model_apply
+
+    _ckpt_train_apply = jax.checkpoint(
+        lambda params, x, rng: model_apply(params, x, is_test=False, rng=rng)
+    )
+
+    def remat_apply(params, x, *, is_test, rng):
+        if is_test:
+            return model_apply(params, x, is_test=True, rng=rng)
+        return _ckpt_train_apply(params, x, rng)
+
+    return remat_apply
+
+
 def make_train_step(
     model,
     render_config: RenderConfig,
     cfg: TrainConfig,
     mesh: Optional[Mesh] = None,
+    model_fine=None,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """Returns (train_step, optimizer).
 
@@ -79,24 +99,18 @@ def make_train_step(
     given):
       rays_o, rays_d: (R, 3); target: (R, 3)
       [colmap_depth] depth_rays_o, depth_rays_d: (D, 3); target_depth: (D,)
+
+    With render_config.n_importance > 0, params must be
+    {"coarse": ..., "fine": ...} and the loss follows nerf-pytorch
+    hierarchical semantics: NLL on the fine render plus NLL on the coarse
+    render, entropy regularizer summed over both networks.
     """
     tx = make_optimizer(cfg)
 
-    def model_apply(params, x, *, is_test, rng):
-        return model.apply({"params": params}, x, is_test=is_test, rng=rng)
+    model_apply = _make_apply(model, cfg.remat)
+    fine_apply = _make_apply(model_fine, cfg.remat) if model_fine is not None else None
 
-    if cfg.remat:
-        _base_apply = model_apply
-        _ckpt_train_apply = jax.checkpoint(
-            lambda params, x, rng: _base_apply(params, x, is_test=False, rng=rng)
-        )
-
-        def model_apply(params, x, *, is_test, rng):  # noqa: F811
-            if is_test:
-                return _base_apply(params, x, is_test=True, rng=rng)
-            return _ckpt_train_apply(params, x, rng)
-
-    render_rays_fn = make_render_rays(model_apply, render_config)
+    render_rays_fn = make_render_rays(model_apply, render_config, fine_apply)
 
     shard_rays = None
     if mesh is not None:
@@ -132,23 +146,34 @@ def make_train_step(
             rgbs, depth_k = rgbs[:n_rgb], depth[n_rgb:]
             target_depth = batch["target_depth"]
 
+        entropy = out["loss_entropy"]
+        if "loss_entropy0" in out:
+            entropy = entropy + out["loss_entropy0"]
+
         loss, metrics = total_loss(
             rgbs,
             batch["target"],
-            out["loss_entropy"],
+            entropy,
             k_samples=cfg.k_samples,
             beta1=cfg.beta1,
             depth_k=depth_k,
             target_depth=target_depth,
             depth_lambda=cfg.depth_lambda,
         )
+        if "rgb0" in out:  # hierarchical: add the coarse NLL (nerf-pytorch)
+            from cfnerf_tpu.train.loss import kde_nll
+
+            rgbs0 = out["rgb0"][: rgbs.shape[0]]
+            nll0 = kde_nll(rgbs0, batch["target"], cfg.k_samples)
+            loss = loss + nll0
+            metrics["loss_nll0"] = nll0
+            metrics["loss"] = loss
         mse = img2mse(rgbs.mean(-1), batch["target"])
         metrics["mse"] = mse
         metrics["psnr"] = mse2psnr(mse)
         return loss, metrics
 
-    @jax.jit
-    def train_step(params, opt_state, batch, rng):
+    def _update(params, opt_state, batch, rng):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng
         )
@@ -156,4 +181,46 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    train_step = jax.jit(_update)
+    train_step._update = _update  # shared logic for make_train_loop
     return train_step, tx
+
+
+def make_train_loop(
+    model,
+    render_config: RenderConfig,
+    cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    n_inner: int = 10,
+    model_fine=None,
+) -> Tuple[Callable, optax.GradientTransformation]:
+    """Device-resident multi-step trainer: lax.scan over n_inner optimizer
+    steps in ONE dispatch.
+
+    TPU-native rationale: per-dispatch host<->device latency (especially
+    through remote-tunneled runtimes) dominates small steps; scanning the
+    step body on device amortizes it to zero.  Batches for all inner steps
+    are pre-sampled on host and stacked on the leading axis.
+
+    train_loop(params, opt_state, batches, rng) -> (params, opt_state,
+    stacked_metrics); `batches` leaves have shape (n_inner, ...).
+    """
+    train_step, tx = make_train_step(model, render_config, cfg, mesh, model_fine)
+    update = train_step._update
+
+    @jax.jit
+    def train_loop(params, opt_state, batches, rng):
+        keys = jax.random.split(rng, n_inner)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, key = xs
+            params, opt_state, metrics = update(params, opt_state, batch, key)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), (batches, keys)
+        )
+        return params, opt_state, metrics
+
+    return train_loop, tx
