@@ -54,45 +54,58 @@ def triangular_sylvester_step(
     dot_generals — catastrophic on the MXU (measured: the einsum
     formulation made the flow stack 90% of the train step).  Instead the
     Z axis is UNROLLED at trace time into (B, K)-shaped elementwise FMA
-    chains on the VPU, exploiting the strict upper-triangularity (j >= i
-    terms only).
+    chains on the VPU (strict upper-triangularity exploited: j >= i terms
+    only).  An explicitly transposed (K, B) layout was measured SLOWER
+    (transposes outweigh lane gains), so components stay (B, K).
     """
     Z = z.shape[-1]
-    # unstack z into Z (B, K) component arrays (permuted view if flipped)
-    zs = [z[..., (Z - 1 - i) if flip else i] for i in range(Z)]
+    zs = [z[..., i] for i in range(Z)]  # Z arrays of (B, K)
+    zs_new, log_det = _step_components(
+        zs, r1, r2, b, flip=flip, compute_log_det=compute_log_det
+    )
+    z_new = jnp.stack(zs_new, axis=-1)  # (B, K, Z)
+    if log_det is None:
+        return z_new, jnp.zeros(z.shape[:-1], dtype=z.dtype)
+    return z_new, log_det
+
+
+def _step_components(zs, r1, r2, b, *, flip: bool, compute_log_det: bool):
+    """One flow step on (B, K)-layout component lists.
+
+    zs: list of Z arrays (B, K); r1, r2: (B, Z, Z); b: (B, Z).
+    Returns (zs_new list, log_det (B, K) or None)."""
+    Z = len(zs)
+    zp = zs[::-1] if flip else zs  # permuted view
 
     def coef(mat, i, j):
         return mat[:, i, j][:, None]  # (B, 1) broadcasts over K
 
-    # pre_i = b_i + sum_{j>=i} r2[i,j] * z_j
     ts = []
     for i in range(Z):
         pre = b[:, i][:, None]
         for j in range(i, Z):
-            pre = pre + coef(r2, i, j) * zs[j]
+            pre = pre + coef(r2, i, j) * zp[j]
         ts.append(jnp.tanh(pre))
 
-    # upd_i = sum_{j>=i} r1[i,j] * t_j ; permute back if flipped
-    z_new_cols = []
+    # upd in permuted coordinates; scatter back through the flip
+    zs_new = list(zs)
     for i in range(Z):
         upd = coef(r1, i, i) * ts[i]
         for j in range(i + 1, Z):
             upd = upd + coef(r1, i, j) * ts[j]
         out_idx = (Z - 1 - i) if flip else i
-        z_new_cols.append((out_idx, z[..., out_idx] + upd))
-    z_new_cols.sort(key=lambda p: p[0])
-    z_new = jnp.stack([c for _, c in z_new_cols], axis=-1)
+        zs_new[out_idx] = zs[out_idx] + upd
 
     if not compute_log_det:
-        return z_new, jnp.zeros(z.shape[:-1], dtype=z.dtype)
+        return zs_new, None
 
     log_det = None
     for i in range(Z):
-        der = 1.0 - ts[i] ** 2  # tanh'(pre_i), (B, K)
+        der = 1.0 - ts[i] ** 2  # tanh'(pre_i)
         dj = der * (coef(r1, i, i) * coef(r2, i, i)) + 1.0
         term = jnp.log(jnp.abs(dj) + LOGDET_EPS)
         log_det = term if log_det is None else log_det + term
-    return z_new, log_det
+    return zs_new, log_det
 
 
 def triangular_sylvester_stack(
@@ -111,18 +124,19 @@ def triangular_sylvester_stack(
     Returns (z_F, sum_log_det (B, K)).
     """
     n_flows = r1.shape[-1]
-    z = z0
-    ldj = jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
+    Z = z0.shape[-1]
+    zs = [z0[..., i] for i in range(Z)]  # unstacked once for the whole chain
+    ldj = None
     for k in range(n_flows):  # static unroll — XLA fuses the whole chain
-        z, ld = triangular_sylvester_step(
-            z,
-            r1[..., k],
-            r2[..., k],
-            b[..., k],
-            flip=(k % 2 == 1),
-            compute_log_det=compute_log_det,
+        zs, ld = _step_components(
+            zs, r1[..., k], r2[..., k], b[..., k],
+            flip=(k % 2 == 1), compute_log_det=compute_log_det,
         )
-        ldj = ldj + ld
+        if ld is not None:
+            ldj = ld if ldj is None else ldj + ld
+    z = jnp.stack(zs, axis=-1)  # (B, K, Z)
+    if ldj is None:
+        return z, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
     return z, ldj
 
 

@@ -100,6 +100,11 @@ class NeRFFlows(nn.Module):
         if self.type_flows == "planar":
             self.flows_alpha = AmortizedPlanar(Z_ALPHA, self.n_flows, name="flows_alpha")
             self.flows_rgb = AmortizedPlanar(Z_RGB, self.n_flows, name="flows_rgb")
+        elif self.type_flows == "IAF":
+            from cfnerf_tpu.flows.iaf import IAFNeRF
+
+            self.flows_alpha = IAFNeRF(Z_ALPHA, self.n_flows, name="flows_alpha")
+            self.flows_rgb = IAFNeRF(Z_RGB, self.n_flows, name="flows_rgb")
         else:  # 'triangular' (the only family wired in the reference) or 'no_flow'
             self.flows_alpha = AmortizedTriangularSylvester(
                 Z_ALPHA, self.n_flows, name="flows_alpha"
@@ -155,6 +160,8 @@ class NeRFFlows(nn.Module):
         if self.type_flows == "no_flow":
             return z0, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
         amor = self.flows_alpha if which == "alpha" else self.flows_rgb
+        if self.type_flows == "IAF":
+            return amor(z0, h, compute_log_det)
         if self.type_flows == "planar":
             u, w, b = amor(h)
             z, ldj = z0, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
