@@ -224,6 +224,36 @@ def read_model(sparse_dir) -> Tuple[Dict[int, Camera], Dict[int, Image], Dict[in
     )
 
 
+# ---- dense workspace arrays (depth/normal maps) --------------------------- #
+
+def read_dense_array(path) -> np.ndarray:
+    """COLMAP dense .bin array (depth_maps/normal_maps): ASCII header
+    "width&height&channels&" followed by row-major little-endian f32.
+    Parity with /root/reference/colmapUtils/read_write_dense.py:40-88."""
+    with open(path, "rb") as f:
+        header = b""
+        amps = 0
+        while amps < 3:
+            c = f.read(1)
+            if not c:
+                raise ValueError(f"truncated dense header in {path}")
+            header += c
+            if c == b"&":
+                amps += 1
+        w, h, ch = (int(x) for x in header.decode().split("&")[:3])
+        data = np.frombuffer(f.read(w * h * ch * 4), dtype="<f4")
+    # stored transposed column-major relative to (h, w, ch)
+    return data.reshape(ch, h, w).transpose(1, 2, 0).squeeze()
+
+
+def write_dense_array(path, arr: np.ndarray) -> None:
+    arr = np.atleast_3d(np.asarray(arr, dtype=np.float32))
+    h, w, ch = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"{w}&{h}&{ch}&".encode())
+        f.write(arr.transpose(2, 0, 1).astype("<f4").tobytes())
+
+
 # ---- writers (round-trip support for tests and dataset tooling) ---------- #
 
 def write_images_binary(images: Dict[int, Image], path) -> None:

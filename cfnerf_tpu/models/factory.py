@@ -46,6 +46,7 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
             use_viewdirs=args.use_viewdirs,
             type_flows=args.type_flows,
             compute_dtype=compute_dtype,
+            flow_impl=getattr(args, "flow_impl", "xla"),
         )
 
     model = _mk(args.netdepth, args.netwidth)

@@ -70,6 +70,10 @@ class NeRFFlows(nn.Module):
     type_flows: str = "triangular"
     compute_dtype: jnp.dtype = jnp.float32
     test_eps_seed: int = 0
+    # run the triangular flow stack as the fused Pallas TPU kernel
+    # (one kernel fwd, one kernel bwd, intermediates in VMEM);
+    # 'interpret' runs the same kernel through the Pallas interpreter (CPU)
+    flow_impl: str = "xla"  # 'xla' | 'pallas' | 'interpret'
 
     def setup(self):
         kernel_init, bias_init = torch_linear_init()
@@ -172,6 +176,12 @@ class NeRFFlows(nn.Module):
                 ldj = jnp.zeros_like(ldj)
             return z, ldj
         r1, r2, b = amor(h)
+        if self.flow_impl in ("pallas", "interpret"):
+            from cfnerf_tpu.ops.pallas.flow_stack import fused_flow_stack
+
+            return fused_flow_stack(
+                z0, r1, r2, b, compute_log_det, self.flow_impl == "interpret"
+            )
         return triangular_sylvester_stack(
             z0, r1, r2, b, compute_log_det=compute_log_det
         )

@@ -264,7 +264,13 @@ def train(args) -> None:
     n_iters = args.n_iters + 1
     print("Begin")
     img_log_idx = 0
+    profile_dir = getattr(args, "profile_dir", None)
     for i in range(start + 1, n_iters):
+        if profile_dir and i == start + 1 + args.profile_start:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and i == start + 1 + args.profile_start + args.profile_steps:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
         t0 = time.time()
         batch = train_batcher.next(i) if not use_batching else train_batcher.next()
         if depth_batcher is not None:

@@ -81,3 +81,19 @@ def test_binary_roundtrip(tmp_path):
     # auto-detection
     c3, i3, p3 = read_model(tmp_path)
     assert set(c3) == {1} and set(i3) == {1, 2} and set(p3) == {10, 11}
+
+
+def test_dense_array_roundtrip(tmp_path):
+    from cfnerf_tpu.data.colmap import read_dense_array, write_dense_array
+
+    rng = np.random.RandomState(3)
+    depth = rng.rand(6, 9).astype(np.float32)
+    p = tmp_path / "depth.bin"
+    write_dense_array(p, depth)
+    out = read_dense_array(p)
+    np.testing.assert_allclose(out, depth)
+
+    normals = rng.rand(4, 5, 3).astype(np.float32)
+    p2 = tmp_path / "normal.bin"
+    write_dense_array(p2, normals)
+    np.testing.assert_allclose(read_dense_array(p2), normals)
