@@ -53,6 +53,7 @@ def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
         skips=(4,), h_alpha_size=64, h_rgb_size=64, n_flows=4,
         k_samples=k_samples, use_viewdirs=True, type_flows="triangular",
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
+        flow_impl="pallas" if jax.default_backend() != "cpu" else "xla",
     )
     rc = RenderConfig(n_samples=n_samples, perturb=True, use_viewdirs=True)
     tc = TrainConfig(
@@ -114,7 +115,7 @@ def main():
         "value": round(best, 1),
         "unit": "rays/s",
         "vs_baseline": round(best / baseline, 4),
-        "config": f"D8 W512 N128 K32 flows4 bf16 batch={bc} remat={br} scan10",
+        "config": f"D8 W512 N128 K32 flows4 bf16 pallas-flows batch={bc} remat={br} scan10",
     }))
 
 

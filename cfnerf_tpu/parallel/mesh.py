@@ -61,6 +61,13 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
+    """For scan-trainer batches (n_inner, R, ...): replicate the inner-step
+    axis, shard the ray axis (axis 1) across the data mesh axis."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

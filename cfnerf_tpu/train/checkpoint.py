@@ -105,7 +105,10 @@ def find_resume_checkpoint(
     """Resolve which checkpoint to resume from (reference :346-355)."""
     if ft_path and ft_path != "None":
         return ft_path
-    ckpts = list_checkpoints(rundir)
+    # only consider this ensemble member's checkpoints — the reference scans
+    # all .tar files (:349) which makes later ensemble members silently
+    # resume from earlier ones; filtering by index is the intended behavior
+    ckpts = [c for c in list_checkpoints(rundir) if c[1] == ensemble]
     if not ckpts:
         return None
     if index_step == -1:

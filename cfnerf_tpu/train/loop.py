@@ -39,11 +39,11 @@ from cfnerf_tpu.data.sampler import (
 )
 from cfnerf_tpu.models.factory import create_nerf
 from cfnerf_tpu.ops.metrics import to8b
-from cfnerf_tpu.parallel.mesh import create_mesh, shard_batch
+from cfnerf_tpu.parallel.mesh import create_mesh, shard_batch, shard_stacked_batch
 from cfnerf_tpu.render.renderer import make_render_rays, render_image
 from cfnerf_tpu.train import checkpoint as ckpt
 from cfnerf_tpu.train.logging import MetricsLogger
-from cfnerf_tpu.train.step import TrainConfig, make_train_step
+from cfnerf_tpu.train.step import TrainConfig, make_train_loop, make_train_step
 
 N_DEPTH = 128  # depth rays per step (reference :855)
 
@@ -265,26 +265,61 @@ def train(args) -> None:
     print("Begin")
     img_log_idx = 0
     profile_dir = getattr(args, "profile_dir", None)
-    for i in range(start + 1, n_iters):
-        if profile_dir and i == start + 1 + args.profile_start:
-            jax.profiler.start_trace(profile_dir)
-        if profile_dir and i == start + 1 + args.profile_start + args.profile_steps:
-            jax.profiler.stop_trace()
-            print(f"profiler trace written to {profile_dir}")
-        t0 = time.time()
-        batch = train_batcher.next(i) if not use_batching else train_batcher.next()
+    n_inner = max(1, getattr(args, "n_inner", 1))
+    if n_inner > 1:
+        # device-resident scan trainer: n_inner optimizer steps per dispatch
+        # (amortizes host->device latency; batches pre-sampled and stacked)
+        train_loop_fn, _ = make_train_loop(
+            model, render_config, tc, mesh=mesh, n_inner=n_inner,
+            model_fine=model_fine,
+        )
+
+    def _sample_batch(step):
+        batch = train_batcher.next(step) if not use_batching else train_batcher.next()
         if depth_batcher is not None:
             batch.update(depth_batcher.next())
             batch.pop("ray_weights")  # loaded-but-unused in the reference loss
-        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
-        rng, krng = jax.random.split(rng)
-        params, opt_state, metrics = train_step(params, opt_state, batch, krng)
+        return batch
 
-        if i % args.i_weights == 0:
+    def _crossed(prev, cur, cadence):
+        return cadence > 0 and (prev // cadence) != (cur // cadence)
+
+    prof_state = 0  # 0 = pending, 1 = tracing, 2 = done
+    i = start
+    while i < n_iters - 1:
+        if profile_dir:
+            if prof_state == 0 and i >= start + args.profile_start:
+                jax.profiler.start_trace(profile_dir)
+                prof_state = 1
+            elif prof_state == 1 and i >= start + args.profile_start + args.profile_steps:
+                jax.profiler.stop_trace()
+                prof_state = 2
+                print(f"profiler trace written to {profile_dir}")
+
+        t0 = time.time()
+        i_prev = i
+        rng, krng = jax.random.split(rng)
+        if n_inner == 1:
+            i += 1
+            batch = _sample_batch(i)
+            batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+            params, opt_state, metrics = train_step(params, opt_state, batch, krng)
+        else:
+            samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
+            stacked = {
+                k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in samples[0]
+            }
+            stacked = shard_stacked_batch(mesh, stacked)
+            i += n_inner
+            params, opt_state, metrics = train_loop_fn(params, opt_state, stacked, krng)
+            metrics = {k: v[-1] for k, v in metrics.items()}  # last inner step
+
+        if _crossed(i_prev, i, args.i_weights):
             path = ckpt.save_checkpoint(rundir, i, params, opt_state, args.index_ensembles)
             print("Saved checkpoints at", path)
 
-        if i % args.i_print == 0:
+        if _crossed(i_prev, i, args.i_print):
             metrics = jax.device_get(metrics)
             scalars = {
                 "train/loss": metrics["loss"],
@@ -301,7 +336,7 @@ def train(args) -> None:
             logger.scalars(i, scalars)
             logger.console(i, scalars, args.colmap_depth)
 
-        if args.i_img > 0 and i % args.i_img == 0 and i > start + 1:
+        if i > start + 1 and _crossed(i_prev, i, args.i_img):
             for prefix, idx_list in (("train/", scene["i_train"]), ("val/", scene["i_val"])):
                 view = idx_list[img_log_idx % len(idx_list)]
                 out = render_image(
@@ -318,7 +353,7 @@ def train(args) -> None:
                 )
             img_log_idx += 1
 
-        if args.i_video > 0 and i % args.i_video == 0 and i > 0:
+        if i > 0 and _crossed(i_prev, i, args.i_video):
             rgbs, disps, _ = render_path(
                 scene["render_poses"], scene, args, render_rays_test, params
             )

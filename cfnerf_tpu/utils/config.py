@@ -188,15 +188,20 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans (numerics sanitizer; the "
                              "reference runs torch anomaly mode globally)")
-    parser.add_argument("--flow_impl", type=str, default="xla",
-                        choices=["xla", "pallas", "interpret"],
+    parser.add_argument("--flow_impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas", "interpret"],
                         help="triangular flow stack implementation: fused "
-                             "Pallas TPU kernel or XLA elementwise chain")
+                             "Pallas TPU kernel or XLA elementwise chain "
+                             "(auto = pallas on TPU, xla elsewhere)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of steps "
                              "[profile_start, profile_start+profile_steps)")
     parser.add_argument("--profile_start", type=int, default=10)
     parser.add_argument("--profile_steps", type=int, default=5)
+    parser.add_argument("--n_inner", type=int, default=1,
+                        help="optimizer steps per device dispatch (lax.scan "
+                             "inner loop); >1 amortizes host latency — "
+                             "logging cadences are rounded to multiples")
     return parser
 
 

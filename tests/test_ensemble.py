@@ -1,0 +1,45 @@
+"""Ensemble CLI: train two tiny members, aggregate-eval the mixture."""
+import json
+import os
+
+from tests.datagen import make_blender_dataset
+
+from cfnerf_tpu.cli.ensemble import eval_ensemble, train_ensemble
+from cfnerf_tpu.utils.config import config_parser
+
+
+def test_ensemble_train_and_eval(tmp_path):
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8, n_val=1)
+    basedir = str(tmp_path / "logs")
+    parser = config_parser()
+    parser.add_argument("--n_members", type=int, default=2)
+    args = parser.parse_args(
+        [
+            "--expname", "ens", "--dataname", "tiny", "--basedir", basedir,
+            "--datadir", datadir, "--dataset_type", "blender",
+            "--N_rand", "16", "--N_samples", "8", "--K_samples", "4",
+            "--n_flows", "2", "--h_alpha_size", "8", "--h_rgb_size", "8",
+            "--netdepth", "2", "--netwidth", "16",
+            "--type_flows", "triangular", "--use_viewdirs", "--white_bkgd",
+            "--no_ndc", "--testskip", "1",
+            "--n_iters", "4", "--i_print", "2", "--i_weights", "4",
+            "--i_img", "0", "--chunk", "64", "--is_train",
+        ]
+    )
+    train_ensemble(args, 2)
+    rundir = os.path.join(basedir, "tiny", "triangular", "ens")
+    names = os.listdir(rundir)
+    assert any(n.endswith("_01") for n in names), names
+    assert any(n.endswith("_02") for n in names), names
+
+    summary = eval_ensemble(args, 2)
+    assert summary["n_members"] == 2
+    assert len(summary["views"]) == 1
+    # mixture has M*K = 8 samples; metrics finite
+    import numpy as np
+    for key in ("psnr", "ssim", "nll", "ause"):
+        assert np.isfinite(summary[key])
+    outdirs = [d for d in os.listdir(rundir) if d.startswith("eval_ensemble2")]
+    assert outdirs
+    files = os.listdir(os.path.join(rundir, outdirs[0]))
+    assert "metrics.json" in files and any(f.endswith("_std.png") for f in files)

@@ -84,3 +84,19 @@ def test_llff_train_smoke(tmp_path):
     train(args)
     mfile = os.path.join(basedir, "fern", "summaries", "l", "metrics.jsonl")
     assert os.path.exists(mfile)
+
+
+def test_scan_trainer_n_inner(tmp_path):
+    """--n_inner > 1: device-resident scan over inner steps, cadences on
+    crossing detection."""
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+    args = _base_args(datadir, basedir, extra=["--n_inner", "4"])
+    args.n_iters = 12
+    train(args)
+    rundir = os.path.join(basedir, "tiny", "triangular", "t")
+    # i_weights=10 crossing fires within the 12 steps
+    assert glob.glob(os.path.join(rundir, "0000*")), os.listdir(rundir)
+    mfile = os.path.join(basedir, "tiny", "summaries", "t", "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mfile)]
+    assert recs and all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
