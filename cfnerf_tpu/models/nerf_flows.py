@@ -240,13 +240,18 @@ class NeRFFlows(nn.Module):
         ldj_rgb = ldj_rgb + (z_rgb - 2.0 * jax.nn.softplus(z_rgb)).sum(-1)
 
         # Base log-density, elementwise (no -0.5 log 2pi; models.py:268,283).
+        # The reference evaluates this on the B-expanded tensor, but eps is
+        # shared across points so every row is identical — computing it on
+        # the unexpanded (K, Z) draw gives the same .mean() for free.
+        z0_a = eps_a * self.alpha_std + self.alpha_mean  # (K, Z_ALPHA)
+        z0_r = eps_r * self.rgb_std + self.rgb_mean
         base_a = -0.5 * (
             2.0 * jnp.log(self.alpha_std)
-            + (alpha0 - self.alpha_mean) ** 2 / self.alpha_std ** 2
+            + (z0_a - self.alpha_mean) ** 2 / self.alpha_std ** 2
         )
         base_r = -0.5 * (
             2.0 * jnp.log(self.rgb_std)
-            + (rgb0 - self.rgb_mean) ** 2 / self.rgb_std ** 2
+            + (z0_r - self.rgb_mean) ** 2 / self.rgb_std ** 2
         )
 
         loss_entropy = (

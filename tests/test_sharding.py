@@ -1,0 +1,85 @@
+"""Mesh/sharding correctness: the data-parallel train step over 8 virtual
+devices must produce the same numbers as single-device execution (the DP
+all-reduce is inserted by jit — SURVEY.md section 5.8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfnerf_tpu.models.nerf_flows import NeRFFlows
+from cfnerf_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    ray_sharding,
+    replicate,
+    shard_batch,
+)
+from cfnerf_tpu.render.renderer import RenderConfig
+from cfnerf_tpu.train.step import TrainConfig, make_train_step
+
+
+def _setup(mesh):
+    model = NeRFFlows(
+        net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+        skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+    )
+    rc = RenderConfig(n_samples=16)
+    tc = TrainConfig(H=8, W=8, focal=10.0, ndc=False, near=0.5, far=4.0,
+                     k_samples=4, beta1=0.01)
+    step, tx = make_train_step(model, rc, tc, mesh=mesh)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True)["params"]
+    return step, tx, params
+
+
+def _batch(R=64):
+    rng = np.random.RandomState(0)
+    return {
+        "rays_o": jnp.asarray(rng.randn(R, 3).astype(np.float32)),
+        "rays_d": jnp.asarray(
+            np.concatenate([rng.randn(R, 2) * 0.05, -np.ones((R, 1))], -1).astype(np.float32)
+        ),
+        "target": jnp.asarray(rng.rand(R, 3).astype(np.float32)),
+    }
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    mesh2 = create_mesh(4)
+    assert mesh2.shape[DATA_AXIS] == 4
+    mesh3 = create_mesh(model_parallel=2)
+    assert mesh3.shape[DATA_AXIS] == 4 and mesh3.shape["model"] == 2
+
+
+def test_dp_matches_single_device():
+    batch = _batch()
+    key = jax.random.PRNGKey(7)
+
+    mesh8 = create_mesh(8)
+    step8, tx8, params = _setup(mesh8)
+    p8 = replicate(mesh8, params)
+    o8 = tx8.init(p8)
+    b8 = shard_batch(mesh8, batch)
+    p8_out, _, m8 = step8(p8, o8, b8, key)
+
+    mesh1 = create_mesh(1)
+    step1, tx1, _ = _setup(mesh1)
+    p1 = replicate(mesh1, params)
+    o1 = tx1.init(p1)
+    b1 = shard_batch(mesh1, batch)
+    p1_out, _, m1 = step1(p1, o1, b1, key)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m8["psnr"]), float(m1["psnr"]), rtol=1e-5)
+    # updated parameters identical (all-reduced grads == full-batch grads)
+    for a, b in zip(jax.tree_util.tree_leaves(p8_out), jax.tree_util.tree_leaves(p1_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_batch_actually_sharded():
+    mesh = create_mesh(8)
+    b = shard_batch(mesh, _batch(64))
+    sh = b["rays_o"].sharding
+    assert sh.is_equivalent_to(ray_sharding(mesh), ndim=2)
+    # each device holds 1/8 of the rays
+    shard_shapes = {s.data.shape for s in b["rays_o"].addressable_shards}
+    assert shard_shapes == {(8, 3)}
