@@ -53,7 +53,7 @@ def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
         skips=(4,), h_alpha_size=64, h_rgb_size=64, n_flows=4,
         k_samples=k_samples, use_viewdirs=True, type_flows="triangular",
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
-        flow_impl="pallas" if jax.default_backend() != "cpu" else "xla",
+        flow_impl="pallas" if jax.default_backend() == "tpu" else "xla",
     )
     rc = RenderConfig(n_samples=n_samples, perturb=True, use_viewdirs=True)
     tc = TrainConfig(

@@ -45,7 +45,7 @@ def eval_ensemble(args, n_members: int) -> dict:
 
     from cfnerf_tpu.cli.eval import kde_nll_per_pixel
     from cfnerf_tpu.models.factory import create_nerf
-    from cfnerf_tpu.ops.metrics import sparsification_plot, ssim, to8b
+    from cfnerf_tpu.ops.metrics import sparsification_plot, ssim, std_over_k, to8b
     from cfnerf_tpu.render.renderer import make_render_rays, render_image
     from cfnerf_tpu.train import checkpoint as ckpt
     from cfnerf_tpu.train.loop import load_dataset
@@ -100,7 +100,7 @@ def eval_ensemble(args, n_members: int) -> dict:
             import cv2
             gt = cv2.resize(gt, (We, He), interpolation=cv2.INTER_AREA)
         rgb_mean = rgb_k.mean(-1)
-        rgb_std = rgb_k.std(-1) * MK / (MK - 1)
+        rgb_std = std_over_k(rgb_k)
         mse = float(((rgb_mean - gt) ** 2).mean())
         psnr = -10.0 * np.log10(mse)
         ssim_v = float(ssim(jnp.asarray(rgb_mean), jnp.asarray(gt)))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cfnerf_tpu.models.factory import create_nerf
-from cfnerf_tpu.ops.metrics import sparsification_plot, ssim, to8b
+from cfnerf_tpu.ops.metrics import sparsification_plot, ssim, std_over_k, to8b
 from cfnerf_tpu.render.renderer import make_render_rays, render_image
 from cfnerf_tpu.train import checkpoint as ckpt
 from cfnerf_tpu.train.loop import load_dataset
@@ -45,7 +45,7 @@ def kde_nll_per_pixel(rgb_k: np.ndarray, gt: np.ndarray, k: int) -> np.ndarray:
     """Per-pixel Parzen NLL, same bandwidth rule as the training loss
     (run_nerf_uncertainty_NF.py:1031-1042)."""
     eps = 1e-5
-    std = rgb_k.std(-1, ddof=1) * k / (k - 1)
+    std = std_over_k(rgb_k)
     h = std * (0.8 / k) ** (-1.0 / 7.0) + eps
     h = h[..., None]
     kernel = np.exp(-((rgb_k - gt[..., None]) ** 2) / (2 * h * h))
@@ -98,7 +98,7 @@ def evaluate(args) -> Dict[str, float]:
             gt = cv2.resize(gt, (We, He), interpolation=cv2.INTER_AREA)
 
         rgb_mean = rgb_k.mean(-1)
-        rgb_std = rgb_k.std(-1) * K / (K - 1)
+        rgb_std = std_over_k(rgb_k)
         mse = float(((rgb_mean - gt) ** 2).mean())
         psnr = -10.0 * np.log10(mse)
         ssim_v = float(ssim(jnp.asarray(rgb_mean), jnp.asarray(gt)))

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from cfnerf_tpu.utils.init import torch_linear_init
+from cfnerf_tpu.utils.init import TorchDense
 
 
 class AmortizedTriangularSylvester(nn.Module):
@@ -35,10 +35,8 @@ class AmortizedTriangularSylvester(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         Z, F = self.z_size, self.n_flows
-        kernel_init, bias_init = torch_linear_init()
-        dense = lambda feats, name: nn.Dense(
-            feats, name=name, kernel_init=kernel_init, bias_init=bias_init,
-            param_dtype=self.param_dtype, dtype=jnp.float32,
+        dense = lambda feats, name: TorchDense(
+            feats, name=name, param_dtype=self.param_dtype, dtype=jnp.float32,
         )
 
         B = h.shape[0]
@@ -70,10 +68,8 @@ class AmortizedPlanar(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         Z, F = self.z_size, self.n_flows
-        kernel_init, bias_init = torch_linear_init()
-        dense = lambda feats, name: nn.Dense(
-            feats, name=name, kernel_init=kernel_init, bias_init=bias_init,
-            param_dtype=self.param_dtype, dtype=jnp.float32,
+        dense = lambda feats, name: TorchDense(
+            feats, name=name, param_dtype=self.param_dtype, dtype=jnp.float32,
         )
         B = h.shape[0]
         u = dense(F * Z, "amor_u")(h).reshape(B, Z, F)

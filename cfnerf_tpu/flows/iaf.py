@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cfnerf_tpu.utils.init import torch_linear_init
+from cfnerf_tpu.utils.init import TorchDense, torch_uniform_init
 
 
 def made_degrees(z_size: int, h_size: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -59,9 +59,9 @@ class MaskedDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel_init, bias_init = torch_linear_init()
-        kernel = self.param("kernel", kernel_init, (x.shape[-1], self.features))
-        bias = self.param("bias", bias_init, (self.features,))
+        init = torch_uniform_init(x.shape[-1])
+        kernel = self.param("kernel", init, (x.shape[-1], self.features))
+        bias = self.param("bias", init, (self.features,))
         return x @ (kernel * jnp.asarray(self.mask)) + bias
 
 
@@ -95,9 +95,7 @@ class IAFNeRF(nn.Module):
 
     @nn.compact
     def __call__(self, z0, context, compute_log_det: bool = True):
-        kernel_init, bias_init = torch_linear_init()
-        ctx = nn.Dense(self.h_size, name="ctx_proj", kernel_init=kernel_init,
-                       bias_init=bias_init)(context)
+        ctx = TorchDense(self.h_size, name="ctx_proj")(context)
         z = z0
         ldj = jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
         for k in range(self.n_flows):

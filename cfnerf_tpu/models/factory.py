@@ -34,9 +34,9 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
 
     flow_impl = getattr(args, "flow_impl", "auto")
     if flow_impl == "auto":
-        # fused Pallas kernel on TPU (measured +16% train throughput);
-        # XLA elementwise chain elsewhere
-        flow_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # fused Pallas kernel on TPU only (measured +16% train throughput);
+        # the pltpu kernel would crash on GPU/CPU backends — XLA elsewhere
+        flow_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def _mk(depth, width):
         return NeRFFlows(

@@ -11,7 +11,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cfnerf_tpu.utils.init import torch_linear_init
+from cfnerf_tpu.utils.init import TorchDense
 
 
 class _Trunk(nn.Module):
@@ -24,14 +24,12 @@ class _Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, input_pts, *, deterministic=True):
-        kernel_init, bias_init = torch_linear_init()
         h = input_pts
         for i in range(self.depth):
             if self.dropout_rate > 0 and i % 2 == 0 and i > 0:
                 h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-            h = nn.Dense(
-                self.width, kernel_init=kernel_init, bias_init=bias_init,
-                dtype=self.compute_dtype, name=f"pts_linear_{i}",
+            h = TorchDense(
+                self.width, dtype=self.compute_dtype, name=f"pts_linear_{i}",
             )(h)
             h = nn.relu(h)
             if i in self.skips:
@@ -53,10 +51,8 @@ class NeRF(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel_init, bias_init = torch_linear_init()
-        dense = lambda feats, name: nn.Dense(
-            feats, kernel_init=kernel_init, bias_init=bias_init,
-            dtype=self.compute_dtype, name=name,
+        dense = lambda feats, name: TorchDense(
+            feats, dtype=self.compute_dtype, name=name,
         )
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)
@@ -90,10 +86,8 @@ class NeRFDropout(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        kernel_init, bias_init = torch_linear_init()
-        dense = lambda feats, name: nn.Dense(
-            feats, kernel_init=kernel_init, bias_init=bias_init,
-            dtype=self.compute_dtype, name=name,
+        dense = lambda feats, name: TorchDense(
+            feats, dtype=self.compute_dtype, name=name,
         )
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)
@@ -130,10 +124,8 @@ class NeRFWild(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel_init, bias_init = torch_linear_init()
-        dense = lambda feats, name: nn.Dense(
-            feats, kernel_init=kernel_init, bias_init=bias_init,
-            dtype=self.compute_dtype, name=name,
+        dense = lambda feats, name: TorchDense(
+            feats, dtype=self.compute_dtype, name=name,
         )
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)

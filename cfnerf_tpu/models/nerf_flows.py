@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from cfnerf_tpu.flows.amortized import AmortizedTriangularSylvester, AmortizedPlanar
 from cfnerf_tpu.flows.sylvester import triangular_sylvester_stack, planar_step
-from cfnerf_tpu.utils.init import torch_linear_init
+from cfnerf_tpu.utils.init import TorchDense
 
 Z_ALPHA = 1  # density latent dim
 Z_RGB = 3    # rgb latent dim (z_size forced to 3 in the reference, models.py:31)
@@ -76,10 +76,8 @@ class NeRFFlows(nn.Module):
     flow_impl: str = "xla"  # 'xla' | 'pallas' | 'interpret'
 
     def setup(self):
-        kernel_init, bias_init = torch_linear_init()
-        dense = lambda feats, name: nn.Dense(
-            feats, name=name, kernel_init=kernel_init, bias_init=bias_init,
-            dtype=self.compute_dtype, param_dtype=jnp.float32,
+        dense = lambda feats, name: TorchDense(
+            feats, name=name, dtype=self.compute_dtype, param_dtype=jnp.float32,
         )
 
         self.pts_linears = [

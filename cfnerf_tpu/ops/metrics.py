@@ -28,6 +28,17 @@ def to8b(x: np.ndarray) -> np.ndarray:
     return (255 * np.clip(x, 0, 1)).astype(np.uint8)
 
 
+def std_over_k(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Per-pixel uncertainty std over the K Monte-Carlo draws, in the
+    reference's exact convention: torch.std (Bessel, ddof=1) scaled by
+    n/(n-1) (/root/reference/run_nerf_uncertainty_NF.py:1129-1131).  The
+    single std formula for every uncertainty map, AUSE input, exported PLY,
+    and the KDE bandwidth."""
+    x = np.asarray(x)
+    n = x.shape[axis]
+    return np.std(x, axis=axis, ddof=1) * n / (n - 1)
+
+
 def sparsification_plot(
     var_vec: np.ndarray,
     err_vec: np.ndarray,

@@ -21,7 +21,9 @@ from typing import Any, List, Optional, Tuple
 import jax
 import numpy as np
 
-_CKPT_RE = re.compile(r"^(\d{6})_(\d{2})$")
+# 6+ digits: {step:06d} grows past 6 digits for steps >= 1M and those
+# checkpoints must still be found by auto-resume
+_CKPT_RE = re.compile(r"^(\d{6,})_(\d{2})$")
 
 
 def run_dir(basedir: str, dataname: str, type_flows: str, expname: str) -> str:

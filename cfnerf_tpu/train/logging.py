@@ -23,7 +23,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from cfnerf_tpu.ops.metrics import to8b
+from cfnerf_tpu.ops.metrics import std_over_k, to8b
 
 
 def _colormap(img01: np.ndarray, cmap: str) -> np.ndarray:
@@ -77,14 +77,13 @@ class MetricsLogger:
         """The reference's five-image panel (:1119-1147)."""
         if self.writer is None:
             return
-        K = rgb_k.shape[-1]
         rgb_mean = rgb_k.mean(-1)
         disp_mean = disp_k.mean(-1)[..., None]
 
         mse_map = (rgb_mean - gt) ** 2
         heat_mse = _colormap(mse_map, "jet")
 
-        rgb_std = rgb_k.std(-1) * K / (K - 1)
+        rgb_std = std_over_k(rgb_k)
         heat_std = _colormap(rgb_std, "jet")
 
         disp_norm = disp_mean / (np.percentile(disp_mean, 90) + 1e-8)

@@ -38,7 +38,7 @@ from cfnerf_tpu.data.sampler import (
     precompute_rays,
 )
 from cfnerf_tpu.models.factory import create_nerf
-from cfnerf_tpu.ops.metrics import to8b
+from cfnerf_tpu.ops.metrics import std_over_k, to8b
 from cfnerf_tpu.parallel.mesh import create_mesh, shard_batch, shard_stacked_batch
 from cfnerf_tpu.render.renderer import make_render_rays, render_image
 from cfnerf_tpu.train import checkpoint as ckpt
@@ -150,10 +150,9 @@ def render_path(
         )
         rgb_k = np.asarray(out["rgb_map"])  # (H, W, 3, K)
         disp_k = np.asarray(out["disp_map"])
-        K = rgb_k.shape[-1]
         rgbs.append(rgb_k.mean(-1))
         disps.append(disp_k.mean(-1))
-        stds.append(rgb_k.std(-1) * K / max(K - 1, 1))
+        stds.append(std_over_k(rgb_k))
         if savedir is not None:
             imageio.imwrite(os.path.join(savedir, f"{i:03d}.png"), to8b(rgbs[-1]))
             imageio.imwrite(
@@ -235,6 +234,14 @@ def train(args) -> None:
         )
 
     depth_batcher = None
+    if args.colmap_depth and not use_batching:
+        # the reference crashes inside the loss here (KeyError on the depth
+        # batch); fail clearly at config time instead
+        raise ValueError(
+            "--colmap_depth requires the batching path; drop --no_batching "
+            "(the reference's depth supervision only exists for batched rays, "
+            "run_nerf_uncertainty_NF.py:855,888-912)"
+        )
     if args.colmap_depth and use_batching:
         rays_depth = precompute_depth_rays(
             scene["depth_gts"], scene["poses"], H, W, focal, scene["i_train"],
@@ -250,6 +257,7 @@ def train(args) -> None:
         near=scene["near"], far=scene["far"],
         k_samples=args.K_samples,
         lrate=args.lrate, lrate_decay=args.lrate_decay,
+        start_step=start,
         beta1=args.beta1,
         colmap_depth=args.colmap_depth, depth_lambda=args.depth_lambda,
     )
@@ -338,6 +346,8 @@ def train(args) -> None:
 
         if i > start + 1 and _crossed(i_prev, i, args.i_img):
             for prefix, idx_list in (("train/", scene["i_train"]), ("val/", scene["i_val"])):
+                if len(idx_list) == 0:  # e.g. --llffhold 0 leaves i_val empty
+                    continue
                 view = idx_list[img_log_idx % len(idx_list)]
                 out = render_image(
                     render_rays_test, params, jnp.asarray(scene["poses"][view]),

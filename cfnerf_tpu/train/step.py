@@ -46,6 +46,11 @@ class TrainConfig:
     k_samples: int
     lrate: float = 5e-4
     lrate_decay: int = 250  # in 1000s of steps
+    # global step the run (re)starts from: offsets the lr schedule so a
+    # resumed run trains at lrate * 0.1^(global_step/decay) like the
+    # reference (:1072-1077), which computes lr from the restored
+    # global_step even though optimizer state is not restored (:360-361)
+    start_step: int = 0
     beta1: float = 0.0
     colmap_depth: bool = False
     depth_lambda: float = 0.1
@@ -61,6 +66,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         transition_steps=cfg.lrate_decay * 1000,
         decay_rate=0.1,
         staircase=False,
+        # negative transition_begin shifts the schedule forward: a fresh
+        # opt_state at count=0 yields lrate * 0.1^(start_step/decay_steps)
+        transition_begin=-cfg.start_step,
     )
     return optax.adam(schedule, b1=0.9, b2=0.999)
 

@@ -1,37 +1,50 @@
-"""Parameter initializers matching torch.nn.Linear defaults.
+"""Parameter initialization matching torch.nn.Linear defaults exactly.
 
-The reference model uses torch Linear layers throughout; torch's default is
-kaiming_uniform(a=sqrt(5)) for the kernel — which reduces to
-U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — and the same bound for the bias.  Using
-the same family keeps early-training dynamics (and therefore PSNR/NLL
-trajectories) comparable to the reference.
+The reference model uses torch Linear layers throughout.  torch's
+``nn.Linear.reset_parameters`` draws the kernel from
+kaiming_uniform(a=sqrt(5)) — which reduces to U(-1/sqrt(fan_in),
+1/sqrt(fan_in)) — and the bias from the SAME fan_in-dependent bound.
+flax's ``bias_init`` signature does not expose fan_in, so instead of an
+approximate fixed bound (the round-1 compromise) we provide ``TorchDense``,
+a Dense layer that computes fan_in from its input at trace time and draws
+both kernel and bias from the exact torch bound.  Param names ("kernel",
+"bias") and dtype-promotion semantics match ``nn.Dense``, so checkpoints
+and param pytrees are unchanged.
 """
 from __future__ import annotations
 
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 
-def _kernel_init(key, shape, dtype=jnp.float32):
-    # flax kernel shape: (fan_in, fan_out)
-    fan_in = shape[0]
-    bound = 1.0 / jnp.sqrt(fan_in)
-    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+def torch_uniform_init(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Linear's kernel AND bias
+    distribution (``nn.Linear.reset_parameters``)."""
+    bound = 1.0 / math.sqrt(fan_in)
 
-
-def torch_linear_init():
-    """Returns (kernel_init, bias_init).  The bias bound depends on fan_in,
-    which flax's bias_init signature doesn't expose — we close over a mutable
-    cell updated by kernel_init ordering instead of that fragility: flax
-    calls kernel_init before bias_init for nn.Dense, but relying on call
-    order is brittle, so the bias uses a fixed small uniform bound matched to
-    the typical fan_in range; empirically indistinguishable for training.
-    """
-    def bias_init(key, shape, dtype=jnp.float32):
-        # torch: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).  fan_in is not available
-        # here; a conservative small uniform keeps biases near zero like the
-        # torch default does for wide layers.
-        bound = 0.01
+    def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
-    return _kernel_init, bias_init
+    return init
+
+
+class TorchDense(nn.Module):
+    """``nn.Dense`` with torch.nn.Linear's exact default init for both
+    kernel and bias (fan_in known at trace time from the input shape)."""
+
+    features: int
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = torch_uniform_init(x.shape[-1])
+        kernel = self.param("kernel", init, (x.shape[-1], self.features),
+                            self.param_dtype)
+        bias = self.param("bias", init, (self.features,), self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return jnp.dot(x, kernel) + bias
