@@ -190,6 +190,7 @@ class NeRFFlows(nn.Module):
         *,
         is_test: bool = False,
         rng: Optional[jax.Array] = None,
+        eps: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Forward pass (models.py:188-291).
 
@@ -197,6 +198,12 @@ class NeRFFlows(nn.Module):
           x: (B, input_ch [+ input_ch_views]) embedded inputs.
           is_test: fixed-eps mean-sample mode, no entropy (models.py:192-223).
           rng: PRNG key for the shared-K eps draw (required when not is_test).
+          eps: optional ((K, 1), (K, 3)) injected base draws — the
+            determinism seam for golden-value parity tests (the reference's
+            `pytest=` flag plays the same role for its RNG draws).  In test
+            mode the last draw is still replaced by zeros (mean sample),
+            mirroring the reference's treatment of its eps buffers
+            (models.py:199,205).
 
         Returns:
           raw: (B, K, 4) — pre-sigmoid RGB (3) then pre-softplus density (1).
@@ -206,7 +213,12 @@ class NeRFFlows(nn.Module):
         B = h_alpha.shape[0]
         K = self.k_samples
 
-        if is_test:
+        if eps is not None:
+            eps_a, eps_r = eps
+            if is_test:
+                eps_a = eps_a.at[-1].set(0.0)
+                eps_r = eps_r.at[-1].set(0.0)
+        elif is_test:
             eps_a, eps_r = self._test_eps()
         else:
             if rng is None:

@@ -1,0 +1,433 @@
+"""Golden-value parity against the LIVE PyTorch reference.
+
+Every test here loads the actual reference code from /root/reference
+(torch-cpu), feeds identical inputs/params to the reference module and to
+the cfnerf_tpu reimplementation, and asserts numerical agreement.  This is
+the evidence behind every "parity target" docstring in the package.
+
+Covered (VERDICT.md round-1 task 2 list):
+  * positional embedder          run_nerf_helpers.py:21-69
+  * ndc_rays                     run_nerf_helpers.py:360-377
+  * get_rays / get_rays_np       run_nerf_helpers.py:288-297,350-357
+  * raw2outputs                  run_nerf_uncertainty_NF.py:411-454
+  * TriangularSylvester._forward model/flow/flows.py:189-268
+  * TriangularSylvesterNeRF      model/models.py:294-416 (amortize + stack)
+  * NeRF_Flows.forward           model/models.py:188-291 (train, injected
+                                 eps, raw + entropy; test, fixed-eps +
+                                 mean-sample-last)
+  * KDE NLL loss                 run_nerf_uncertainty_NF.py:1031-1042
+  * render_rays end-to-end       run_nerf_uncertainty_NF.py:457-553
+                                 (dummy radiance field, perturb=0)
+"""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tests")
+
+torch = pytest.importorskip("torch")
+
+from reference_harness import (  # noqa: E402
+    install_reference,
+    port_amortized,
+    port_nerf_flows,
+    ref_args,
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF_HELPERS, REF_MODELS, REF_FLOWS, REF_MAIN = install_reference()
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def t2n(x):
+    return x.detach().numpy()
+
+
+# --------------------------------------------------------------------- #
+# L2 math primitives
+# --------------------------------------------------------------------- #
+
+def test_embedder_parity():
+    from cfnerf_tpu.ops.embed import get_embedder
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(17, 3).astype(np.float32)
+    for multires in (4, 10):
+        ref_fn, ref_dim = REF_HELPERS.get_embedder(multires, 0)
+        ours_fn, ours_dim = get_embedder(multires, 0)
+        assert ours_dim == ref_dim
+        ref = t2n(ref_fn(torch.from_numpy(x)))
+        ours = np.asarray(ours_fn(jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_embedder_identity():
+    from cfnerf_tpu.ops.embed import get_embedder
+
+    x = np.random.RandomState(1).randn(5, 3).astype(np.float32)
+    ref_fn, ref_dim = REF_HELPERS.get_embedder(10, -1)
+    ours_fn, ours_dim = get_embedder(10, -1)
+    assert ours_dim == ref_dim == 3
+    np.testing.assert_allclose(
+        np.asarray(ours_fn(jnp.asarray(x))), t2n(ref_fn(torch.from_numpy(x)))
+    )
+
+
+def test_ndc_rays_parity():
+    from cfnerf_tpu.ops.rays import ndc_rays
+
+    rng = np.random.RandomState(2)
+    rays_o = rng.randn(33, 3).astype(np.float32)
+    rays_d = rng.randn(33, 3).astype(np.float32)
+    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.1  # forward-facing
+    H, W, focal = 24, 32, 29.7
+    ro_ref, rd_ref = REF_HELPERS.ndc_rays(
+        H, W, focal, 1.0, torch.from_numpy(rays_o), torch.from_numpy(rays_d)
+    )
+    ro, rd = ndc_rays(H, W, focal, 1.0, jnp.asarray(rays_o), jnp.asarray(rays_d))
+    np.testing.assert_allclose(np.asarray(ro), t2n(ro_ref), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(rd), t2n(rd_ref), rtol=RTOL, atol=ATOL)
+
+
+def test_get_rays_parity():
+    from cfnerf_tpu.ops.rays import get_rays, get_rays_np
+
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[:3, :3] = np.array(
+        [[0.9, 0.1, -0.2], [-0.1, 0.95, 0.05], [0.2, -0.05, 0.97]], np.float32
+    )
+    c2w[:, 3] = [0.3, -0.2, 1.5]
+    H, W, focal = 6, 8, 11.0
+    ro_ref, rd_ref = REF_HELPERS.get_rays(H, W, focal, torch.from_numpy(c2w))
+    ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(ro), t2n(ro_ref), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(rd), t2n(rd_ref), rtol=RTOL, atol=ATOL)
+    ro_np_ref, rd_np_ref = REF_HELPERS.get_rays_np(H, W, focal, c2w)
+    ro_np, rd_np = get_rays_np(H, W, focal, c2w)
+    np.testing.assert_allclose(ro_np, ro_np_ref, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(rd_np, rd_np_ref, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("white_bkgd", [False, True])
+def test_raw2outputs_parity(white_bkgd):
+    from cfnerf_tpu.ops.compositing import raw2outputs
+
+    rng = np.random.RandomState(3)
+    R, S, K = 7, 16, 5
+    raw = rng.randn(R, S, K, 4).astype(np.float32)
+    z_vals = np.sort(rng.rand(R, S).astype(np.float32) * 3 + 0.5, -1)
+    rays_d = rng.randn(R, 3).astype(np.float32)
+
+    rgb_ref, disp_ref, w_ref, depth_ref = REF_MAIN.raw2outputs(
+        torch.from_numpy(raw), torch.from_numpy(z_vals), torch.from_numpy(rays_d),
+        0.0, white_bkgd,
+    )
+    rgb, disp, acc, w, depth = raw2outputs(
+        jnp.asarray(raw), jnp.asarray(z_vals), jnp.asarray(rays_d),
+        white_bkgd=white_bkgd,
+    )
+    np.testing.assert_allclose(np.asarray(rgb), t2n(rgb_ref), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(disp), t2n(disp_ref), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(w), t2n(w_ref), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(depth), t2n(depth_ref), rtol=RTOL, atol=ATOL)
+
+
+# --------------------------------------------------------------------- #
+# Flows
+# --------------------------------------------------------------------- #
+
+def _triangular_params(rng, B, Z):
+    """Random r1/r2 (upper-triangular, tanh-bounded diagonal) + bias."""
+    triu = np.triu(np.ones((Z, Z), np.float32), k=1)
+    r1 = rng.randn(B, Z, Z).astype(np.float32) * triu
+    r2 = rng.randn(B, Z, Z).astype(np.float32) * triu
+    idx = np.arange(Z)
+    r1[:, idx, idx] = np.tanh(rng.randn(B, Z).astype(np.float32))
+    r2[:, idx, idx] = np.tanh(rng.randn(B, Z).astype(np.float32))
+    b = rng.randn(B, Z).astype(np.float32)
+    return r1, r2, b
+
+
+@pytest.mark.parametrize("z_size", [1, 3])
+@pytest.mark.parametrize("flip", [False, True])
+def test_triangular_sylvester_step_parity(z_size, flip):
+    from cfnerf_tpu.flows.sylvester import triangular_sylvester_step
+
+    rng = np.random.RandomState(4)
+    B, K = 11, 6
+    r1, r2, b = _triangular_params(rng, B, z_size)
+    z = rng.randn(B, K, z_size).astype(np.float32)
+
+    flow = REF_FLOWS.TriangularSylvester(z_size)
+    permute = torch.arange(z_size - 1, -1, -1) if flip else None
+    # reference works on the flattened (B*K) batch with tiled params
+    z_flat = torch.from_numpy(z.reshape(B * K, z_size))
+    tile = lambda a: torch.from_numpy(np.repeat(a, K, axis=0))
+    z_ref, ld_ref = flow._forward(
+        z_flat, tile(r1), tile(r2), tile(b[:, None, :]), permute, sum_ldj=True
+    )
+    z_ours, ld_ours = triangular_sylvester_step(
+        jnp.asarray(z), jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(b),
+        flip=flip,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_ours).reshape(B * K, z_size), t2n(z_ref), rtol=RTOL, atol=ATOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld_ours).reshape(B * K), t2n(ld_ref), rtol=RTOL, atol=ATOL
+    )
+    # test shortpath: same z, no log-det
+    z_ref_t, ld_ref_t = flow._forward(
+        z_flat, tile(r1), tile(r2), tile(b[:, None, :]), permute,
+        sum_ldj=True, is_test=True,
+    )
+    z_ours_t, ld_ours_t = triangular_sylvester_step(
+        jnp.asarray(z), jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(b),
+        flip=flip, compute_log_det=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_ours_t).reshape(B * K, z_size), t2n(z_ref_t),
+        rtol=RTOL, atol=ATOL,
+    )
+    assert ld_ref_t == 0 and np.all(np.asarray(ld_ours_t) == 0.0)
+
+
+@pytest.mark.parametrize("z_size,flag,h_size", [(1, "alpha", 8), (3, "rgb", 8)])
+def test_amortized_stack_parity(z_size, flag, h_size):
+    """Amortization nets + n_flows chain with alternating flip
+    (TriangularSylvesterNeRF.forward, models.py:387-416)."""
+    from cfnerf_tpu.flows.amortized import AmortizedTriangularSylvester
+    from cfnerf_tpu.flows.sylvester import triangular_sylvester_stack
+
+    torch.manual_seed(5)
+    args = ref_args(n_flows=4)
+    ref_flow = REF_MODELS.TriangularSylvesterNeRF(args, flag)
+
+    rng = np.random.RandomState(6)
+    B, K = 9, 5
+    h = rng.randn(B, h_size).astype(np.float32)
+    z0 = rng.randn(B, K, z_size).astype(np.float32)
+
+    h_tiled = torch.from_numpy(np.repeat(h, K, axis=0))
+    z0_flat = torch.from_numpy(z0.reshape(B * K, z_size))
+    z_ref, ld_ref = ref_flow(z0_flat, h_tiled, False)
+
+    amor = AmortizedTriangularSylvester(z_size, 4)
+    params = port_amortized(ref_flow)
+    r1, r2, b = amor.apply({"params": params}, jnp.asarray(h))
+    z_ours, ld_ours = triangular_sylvester_stack(
+        jnp.asarray(z0), r1, r2, b, compute_log_det=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_ours).reshape(B * K, z_size), t2n(z_ref), rtol=RTOL, atol=ATOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld_ours).reshape(B * K), t2n(ld_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+# --------------------------------------------------------------------- #
+# Full model forward
+# --------------------------------------------------------------------- #
+
+def _build_pair(k_samples=4, flow_impl="xla"):
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows
+
+    torch.manual_seed(11)
+    args = ref_args(K_samples=k_samples)
+    ref_model = REF_MODELS.NeRF_Flows(args)
+    ours = NeRFFlows(
+        net_depth=args.netdepth, net_width=args.netwidth,
+        input_ch=args.input_ch, input_ch_views=args.input_ch_views,
+        skips=tuple(args.skips), h_alpha_size=args.h_alpha_size,
+        h_rgb_size=args.h_rgb_size, n_flows=args.n_flows,
+        k_samples=k_samples, use_viewdirs=True, type_flows="triangular",
+        flow_impl=flow_impl,
+    )
+    params = port_nerf_flows(ref_model, args.netdepth)
+    return ref_model, ours, params, args
+
+
+def test_nerf_flows_train_forward_parity():
+    ref_model, ours, params, args = _build_pair()
+    K = args.K_samples
+    rng = np.random.RandomState(8)
+    x = rng.randn(13, 90).astype(np.float32)
+
+    torch.manual_seed(21)
+    raw_ref, ent_ref = ref_model(torch.from_numpy(x), is_val=False, is_test=False)
+    torch.manual_seed(21)  # replay the exact eps sequence the forward drew
+    eps_a = t2n(torch.empty([K, 1]).normal_())
+    eps_r = t2n(torch.empty([K, 3]).normal_())
+
+    raw, ent = ours.apply(
+        {"params": params}, jnp.asarray(x), is_test=False,
+        eps=(jnp.asarray(eps_a), jnp.asarray(eps_r)),
+    )
+    np.testing.assert_allclose(np.asarray(raw), t2n(raw_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        float(ent), float(t2n(ent_ref).reshape(-1)[0]), rtol=1e-4
+    )
+
+
+def test_nerf_flows_test_forward_parity():
+    """Fixed-eps test mode: K-1 frozen draws + zeroed (mean) last draw."""
+    ref_model, ours, params, args = _build_pair()
+    K = args.K_samples
+    rng = np.random.RandomState(9)
+    x = rng.randn(6, 90).astype(np.float32)
+    eps_a = rng.randn(K, 1).astype(np.float32)
+    eps_r = rng.randn(K, 3).astype(np.float32)
+
+    # inject the same eps into the reference's buffers
+    ref_model.sample_alpha = torch.from_numpy(eps_a)
+    ref_model.sample_rgb = torch.from_numpy(eps_r)
+    raw_ref, _ = ref_model(torch.from_numpy(x), is_val=False, is_test=True)
+
+    raw, ent = ours.apply(
+        {"params": params}, jnp.asarray(x), is_test=True,
+        eps=(jnp.asarray(eps_a), jnp.asarray(eps_r)),
+    )
+    np.testing.assert_allclose(np.asarray(raw), t2n(raw_ref), rtol=1e-4, atol=1e-5)
+    assert float(ent) == 0.0
+    # the K-th draw is the mean sample: re-running with different non-last
+    # eps rows keeps the last sample identical
+    eps_a2 = eps_a + 1.0
+    eps_a2[-1] = 123.0  # would change the output if the zeroing were skipped
+    raw2, _ = ours.apply(
+        {"params": params}, jnp.asarray(x), is_test=True,
+        eps=(jnp.asarray(eps_a2), jnp.asarray(eps_r)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw2)[:, -1, 3], np.asarray(raw)[:, -1, 3], rtol=RTOL, atol=ATOL
+    )
+
+
+def test_nerf_flows_pallas_interpret_parity():
+    """The fused Pallas flow kernel (interpret mode on CPU) against the
+    reference — same check as the XLA path but through the TPU kernel."""
+    ref_model, ours, params, args = _build_pair(flow_impl="interpret")
+    K = args.K_samples
+    rng = np.random.RandomState(10)
+    x = rng.randn(5, 90).astype(np.float32)
+    torch.manual_seed(31)
+    raw_ref, ent_ref = ref_model(torch.from_numpy(x), is_val=False, is_test=False)
+    torch.manual_seed(31)
+    eps_a = t2n(torch.empty([K, 1]).normal_())
+    eps_r = t2n(torch.empty([K, 3]).normal_())
+    raw, ent = ours.apply(
+        {"params": params}, jnp.asarray(x), is_test=False,
+        eps=(jnp.asarray(eps_a), jnp.asarray(eps_r)),
+    )
+    np.testing.assert_allclose(np.asarray(raw), t2n(raw_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        float(ent), float(t2n(ent_ref).reshape(-1)[0]), rtol=1e-4
+    )
+
+
+# --------------------------------------------------------------------- #
+# Loss
+# --------------------------------------------------------------------- #
+
+def test_kde_nll_parity():
+    """The exact loss block at run_nerf_uncertainty_NF.py:1031-1042,
+    replicated in torch, vs cfnerf_tpu.train.loss.kde_nll."""
+    import math
+
+    from cfnerf_tpu.train.loss import kde_nll
+
+    rng = np.random.RandomState(12)
+    R, K = 64, 8
+    rgbs = rng.rand(R, 3, K).astype(np.float32)
+    target = rng.rand(R, 3).astype(np.float32)
+
+    rgbs_t = torch.from_numpy(rgbs)
+    target_t = torch.from_numpy(target)
+    eps, n = 1e-05, K
+    rgb_std = torch.std(rgbs_t, -1) * n / (n - 1)
+    H_sqrt = rgb_std.detach() * torch.pow(torch.tensor(0.8 / n), torch.tensor(-1 / 7)) + eps
+    H_sqrt = H_sqrt[..., None]
+    r_P_C_1 = torch.exp(-((rgbs_t - target_t[..., None]) ** 2) / (2 * H_sqrt * H_sqrt))
+    r_P_C_2 = torch.pow(torch.tensor(2 * math.pi), torch.tensor(-1.5)) / H_sqrt
+    r_P_C_mean = (r_P_C_1 * r_P_C_2).mean(-1) + eps
+    loss_ref = float(-torch.log(r_P_C_mean).mean())
+
+    loss = float(kde_nll(jnp.asarray(rgbs), jnp.asarray(target), K))
+    np.testing.assert_allclose(loss, loss_ref, rtol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+# Renderer end-to-end (dummy radiance field)
+# --------------------------------------------------------------------- #
+
+def _dummy_raw_np(pts, K):
+    """Deterministic raw prediction from raw 3D points, expressible in
+    torch, numpy and jax identically.  (R..., 4) broadcast to K draws with a
+    per-draw offset so the K axis is exercised."""
+    base = np.stack(
+        [
+            np.sin(pts * 1.3).sum(-1),
+            np.cos(pts * 0.7).sum(-1),
+            np.sin(pts.sum(-1) * 0.9),
+            np.tanh(pts).sum(-1) * 0.3,
+        ],
+        axis=-1,
+    )
+    offs = 0.05 * np.sin(np.arange(K, dtype=np.float32))
+    return base[..., None, :] + offs[:, None]
+
+
+def test_render_rays_end_to_end_parity():
+    """Full render_rays (z-schedule, embedding plumbing, compositing) vs the
+    reference with an identical dummy radiance field, perturb=0."""
+    from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays
+
+    R, S, K = 12, 128, 4
+    rng = np.random.RandomState(13)
+    rays_o = rng.randn(R, 3).astype(np.float32)
+    rays_d = rng.randn(R, 3).astype(np.float32)
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = 0.5, 4.0
+
+    # --- reference ---
+    def ref_query(pts, vdirs, network_fn, is_val=False, is_test=False):
+        raw = torch.from_numpy(_dummy_raw_np(t2n(pts), K).astype(np.float32))
+        return raw, torch.zeros(1)
+
+    ray_batch = torch.from_numpy(
+        np.concatenate(
+            [rays_o, rays_d,
+             np.full((R, 1), near, np.float32), np.full((R, 1), far, np.float32),
+             viewdirs], -1,
+        )
+    )
+    ret = REF_MAIN.render_rays(
+        ray_batch, None, ref_query, S, is_train=True, uniformsample=False,
+        K_samples=K, perturb=0.0,
+    )
+
+    # --- ours ---
+    def ours_apply(params, emb, *, is_test, rng):
+        pts = np.asarray(emb[..., :3])  # identity part of the embedding
+        return jnp.asarray(_dummy_raw_np(pts, K).astype(np.float32)), jnp.zeros(())
+
+    rc = RenderConfig(n_samples=S, perturb=False, use_viewdirs=True)
+    rr = make_render_rays(ours_apply, rc)
+    out = rr(
+        {}, jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(viewdirs),
+        jnp.full((R, 1), near), jnp.full((R, 1), far),
+        jax.random.PRNGKey(0), is_test=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_map"]), t2n(ret["rgb_map"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["disp_map"]), t2n(ret["disp_map"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth_map"]), t2n(ret["depth_map"]), rtol=1e-4, atol=1e-5
+    )
