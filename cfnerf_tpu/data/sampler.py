@@ -23,9 +23,12 @@ import numpy as np
 from cfnerf_tpu.ops.rays import get_rays_np, get_rays_by_coord_np
 
 
-def lf_scene_splits(dataname: str, n_images: int, llffhold: int = 8):
+def lf_scene_splits(dataname: str, n_images: int, llffhold: int = 8,
+                    i_test: Optional[np.ndarray] = None):
     """Train/val splits: LF few-view scenes use hardcoded index ranges
-    (run_nerf_uncertainty_NF.py:750-772); otherwise every-llffhold holdout.
+    (run_nerf_uncertainty_NF.py:750-772); otherwise every-llffhold holdout,
+    falling back to the loader's nearest-to-mean test view when llffhold==0
+    (reference :742-748 — i_test from load_llff_data :354-356).
 
     Returns (i_train, i_val, i_val_internal).  The reference leaves
     i_val_internal undefined for generic scenes (a crash, SURVEY.md sec. 2);
@@ -44,8 +47,13 @@ def lf_scene_splits(dataname: str, n_images: int, llffhold: int = 8):
         i_train = list(np.arange(8, 17, 2))
         i_val = list(np.arange(9, 17, 2))
     else:
-        i_test = np.arange(n_images)[::llffhold] if llffhold > 0 else np.array([], int)
-        i_val = list(i_test)
+        if llffhold > 0:
+            holdout = np.arange(n_images)[::llffhold]
+        elif i_test is not None:
+            holdout = np.atleast_1d(np.asarray(i_test, int))
+        else:
+            holdout = np.array([], int)
+        i_val = [int(i) for i in holdout]
         i_train = [i for i in range(n_images) if i not in i_val]
     return i_train, i_val, list(i_val)
 

@@ -53,6 +53,51 @@ class AmortizedTriangularSylvester(nn.Module):
         return r1, r2, b
 
 
+class AmortizedGeneralSylvester(nn.Module):
+    """h (B, h_size) -> per-flow triangular r1/r2, bias b, and an orthogonal
+    matrix Q for the GENERAL Sylvester step (z' = z + Q R1 tanh(R2 Q^T z + b)).
+
+    q_mode selects how Q is amortized — the two type_flows families the
+    reference's CLI advertises but never implemented
+    (run_nerf_uncertainty_NF.py:614-616; the sylvester-flows taxonomy):
+      * 'householder': a reflection vector v per flow, Q = I - 2 vv^T/|v|^2;
+      * 'orthogonal':  a full Z x Z matrix per flow, orthogonalized by fixed
+        Bjoerck iterations.
+    """
+
+    z_size: int
+    n_flows: int
+    q_mode: str = "householder"  # 'householder' | 'orthogonal'
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray):
+        from cfnerf_tpu.flows.sylvester import householder_q, orthogonalize_q
+
+        Z, F = self.z_size, self.n_flows
+        dense = lambda feats, name: TorchDense(
+            feats, name=name, param_dtype=self.param_dtype, dtype=jnp.float32,
+        )
+        B = h.shape[0]
+        full_d = dense(F * Z * Z, "amor_d")(h).reshape(B, Z, Z, F)
+        diag1 = jnp.tanh(dense(F * Z, "amor_diag1")(h)).reshape(B, Z, F)
+        diag2 = jnp.tanh(dense(F * Z, "amor_diag2")(h)).reshape(B, Z, F)
+        b = dense(F * Z, "amor_b")(h).reshape(B, Z, F)
+
+        triu = jnp.asarray(np.triu(np.ones((Z, Z), np.float32), k=1))[None, :, :, None]
+        eye = jnp.asarray(np.eye(Z, dtype=np.float32))[None, :, :, None]
+        r1 = full_d * triu + eye * diag1[:, :, None, :]
+        r2 = jnp.swapaxes(full_d, 1, 2) * triu + eye * diag2[:, :, None, :]
+
+        if self.q_mode == "householder":
+            v = dense(F * Z, "amor_q")(h).reshape(B, Z, F)
+            q = jnp.stack([householder_q(v[..., k]) for k in range(F)], -1)
+        else:
+            m = dense(F * Z * Z, "amor_q")(h).reshape(B, Z, Z, F)
+            q = jnp.stack([orthogonalize_q(m[..., k]) for k in range(F)], -1)
+        return r1, r2, q, b
+
+
 class AmortizedPlanar(nn.Module):
     """h (B, h_size) -> u, w (B, Z, F) and b (B, F) for planar flow steps.
 

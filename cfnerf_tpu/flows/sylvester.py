@@ -140,6 +140,74 @@ def triangular_sylvester_stack(
     return z, ldj
 
 
+def general_sylvester_step(
+    z: jnp.ndarray,
+    r1: jnp.ndarray,
+    r2: jnp.ndarray,
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    compute_log_det: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One GENERAL Sylvester step z' = z + Q R1 tanh(R2 Q^T z + b).
+
+    Parity target: Sylvester._forward, /root/reference/model/flow/flows.py:89-165
+    (dead in the reference — only the triangular specialization is wired;
+    implemented here so the orthogonal/householder type_flows options are
+    real capabilities instead of silent fallbacks).
+
+    Args:
+      z:  (B, K, Z); r1, r2: (B, Z, Z) upper-triangular w/ bounded diagonal;
+      q:  (B, Z, Z) orthogonal; b: (B, Z).
+    Returns (z', log_det (B, K)).
+
+    det(I + Q R1 D R2 Q^T) = det(I + R1 D R2) for orthogonal Q, so the
+    log-det is the same diagonal product as the triangular flow
+    (flows.py:141-151).  Z is tiny (1 or 3): the contractions are
+    elementwise-width VPU work, fused by XLA.
+    """
+    zq = jnp.einsum("bkz,bzy->bky", z, q)            # (Q^T z)^T
+    pre = jnp.einsum("bky,biy->bki", zq, r2) + b[:, None, :]
+    t = jnp.tanh(pre)                                 # (B, K, Z)
+    upd_q = jnp.einsum("bki,bji->bkj", t, r1)         # (R1 t)_j
+    z_new = z + jnp.einsum("bkj,bzj->bkz", upd_q, q)  # Q (R1 t)
+
+    if not compute_log_det:
+        return z_new, jnp.zeros(z.shape[:-1], dtype=z.dtype)
+
+    Z = z.shape[-1]
+    idx = jnp.arange(Z)
+    diag = (r1[:, idx, idx] * r2[:, idx, idx])[:, None, :]  # (B, 1, Z)
+    dj = (1.0 - t ** 2) * diag + 1.0
+    log_det = jnp.log(jnp.abs(dj) + LOGDET_EPS).sum(-1)
+    return z_new, log_det
+
+
+def householder_q(v: jnp.ndarray) -> jnp.ndarray:
+    """(B, Z) reflection vectors -> (B, Z, Z) orthogonal Householder
+    matrices Q = I - 2 v v^T / ||v||^2 (the 'householder' Sylvester family
+    from the van den Berg et al. taxonomy the reference's CLI advertises)."""
+    Z = v.shape[-1]
+    vn = v / jnp.sqrt(jnp.sum(v ** 2, -1, keepdims=True) + 1e-12)
+    return jnp.eye(Z) - 2.0 * vn[:, :, None] * vn[:, None, :]
+
+
+def orthogonalize_q(m: jnp.ndarray, n_iter: int = 16) -> jnp.ndarray:
+    """(B, Z, Z) unconstrained matrices -> orthogonal Q via the iterative
+    Bjoerck-Bowie orthogonalization Q <- Q (I + 0.5 (I - Q^T Q)) used by the
+    'orthogonal' Sylvester family (sylvester-flows construct_orthogonal).
+    Fixed iteration count keeps the op jit-static; the matrices are first
+    scaled to spectral norm <= 1 (Frobenius bound) for convergence."""
+    Z = m.shape[-1]
+    norm = jnp.sqrt(jnp.sum(m ** 2, axis=(-2, -1), keepdims=True)) + 1e-8
+    q = m / norm
+    eye = jnp.eye(Z)
+    for _ in range(n_iter):
+        qtq = jnp.einsum("bji,bjk->bik", q, q)
+        q = jnp.einsum("bij,bjk->bik", q, eye + 0.5 * (eye - qtq))
+    return q
+
+
 def planar_step(
     z: jnp.ndarray,
     u: jnp.ndarray,

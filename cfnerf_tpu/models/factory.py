@@ -38,7 +38,26 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
         # the pltpu kernel would crash on GPU/CPU backends — XLA elsewhere
         flow_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    # 'NeRF_Flows' is the spelling the reference launch scripts pass
+    model_name = (getattr(args, "model", None) or "nerf_flows").lower()
+
     def _mk(depth, width):
+        if model_name != "nerf_flows":
+            # baseline family via --model (the reference parses the flag and
+            # ignores it; its baselines are dead code — run_nerf_helpers.py:76-284)
+            from cfnerf_tpu.models.baseline_adapter import KSampleBaseline
+
+            return KSampleBaseline(
+                kind=model_name,
+                k_samples=args.K_samples,
+                net_depth=depth,
+                net_width=width,
+                input_ch=input_ch,
+                input_ch_views=input_ch_views,
+                skips=(depth // 2,),
+                use_viewdirs=args.use_viewdirs,
+                compute_dtype=compute_dtype,
+            )
         return NeRFFlows(
             net_depth=depth,
             net_width=width,
@@ -76,6 +95,15 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
         i_embed=args.i_embed,
     )
     return model, model_fine, render_config
+
+
+def loss_mode_for_model(model_name: Optional[str]) -> str:
+    """Training-loss family per model: the flow model and the learned-std
+    baseline train on the sample-based KDE NLL; the deterministic and
+    MC-dropout baselines train on plain MSE (nerf-pytorch semantics — K
+    identical/mask-only draws make a KDE bandwidth degenerate)."""
+    name = (model_name or "nerf_flows").lower()
+    return "mse" if name in ("nerf", "nerf_dropout") else "kde"
 
 
 def init_params(model: NeRFFlows, seed: int = 0) -> Any:

@@ -9,9 +9,19 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cfnerf_tpu.utils.init import TorchDense
+
+
+def _dropout(h, rate, key):
+    """Explicit-key dropout (inverted scaling).  Explicit keys instead of
+    flax rng collections so K-draw MC-dropout can thread one key per draw
+    through a plain (params, x, rng) apply signature."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, h.shape)
+    return jnp.where(mask, h / keep, 0.0)
 
 
 class _Trunk(nn.Module):
@@ -23,11 +33,12 @@ class _Trunk(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_pts, *, deterministic=True):
+    def __call__(self, input_pts, *, dropout_rng=None):
         h = input_pts
         for i in range(self.depth):
-            if self.dropout_rate > 0 and i % 2 == 0 and i > 0:
-                h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+            if self.dropout_rate > 0 and dropout_rng is not None and i % 2 == 0 and i > 0:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                h = _dropout(h, self.dropout_rate, sub)
             h = TorchDense(
                 self.width, dtype=self.compute_dtype, name=f"pts_linear_{i}",
             )(h)
@@ -85,24 +96,31 @@ class NeRFDropout(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, rng=None):
+        """rng=None -> deterministic (dropout off); an explicit key enables
+        one stochastic dropout draw (MC-dropout draws differ by key)."""
         dense = lambda feats, name: TorchDense(
             feats, dtype=self.compute_dtype, name=name,
         )
+        k_trunk = k_h = k_hv = None
+        if rng is not None:
+            k_trunk, k_h, k_hv = jax.random.split(rng, 3)
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)
         h = _Trunk(self.depth, self.width, self.input_ch, self.skips,
                    dropout_rate=self.dropout_rate,
                    compute_dtype=self.compute_dtype, name="trunk")(
-            input_pts, deterministic=deterministic
+            input_pts, dropout_rng=k_trunk
         )
         if self.use_viewdirs:
-            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+            if k_h is not None:
+                h = _dropout(h, self.dropout_rate, k_h)
             alpha = dense(1, "alpha_linear")(h)
             feature = dense(self.width, "feature_linear")(h)
             hv = jnp.concatenate([feature, input_views], -1)
             hv = nn.relu(dense(self.width // 2, "views_linear")(hv))
-            hv = nn.Dropout(self.dropout_rate, deterministic=deterministic)(hv)
+            if k_hv is not None:
+                hv = _dropout(hv, self.dropout_rate, k_hv)
             rgb = dense(3, "rgb_linear")(hv)
             out = jnp.concatenate([rgb, alpha], -1)
         else:

@@ -48,8 +48,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cfnerf_tpu.flows.amortized import AmortizedTriangularSylvester, AmortizedPlanar
-from cfnerf_tpu.flows.sylvester import triangular_sylvester_stack, planar_step
+from cfnerf_tpu.flows.amortized import (
+    AmortizedGeneralSylvester,
+    AmortizedPlanar,
+    AmortizedTriangularSylvester,
+)
+from cfnerf_tpu.flows.sylvester import (
+    general_sylvester_step,
+    planar_step,
+    triangular_sylvester_stack,
+)
 from cfnerf_tpu.utils.init import TorchDense
 
 Z_ALPHA = 1  # density latent dim
@@ -107,12 +115,33 @@ class NeRFFlows(nn.Module):
 
             self.flows_alpha = IAFNeRF(Z_ALPHA, self.n_flows, name="flows_alpha")
             self.flows_rgb = IAFNeRF(Z_RGB, self.n_flows, name="flows_rgb")
-        else:  # 'triangular' (the only family wired in the reference) or 'no_flow'
+        elif self.type_flows in ("householder", "orthogonal"):
+            # general Sylvester families (the reference's CLI advertises
+            # these but silently trains triangular; here they are real —
+            # flows.py:89-165 generalized with amortized Q)
+            self.flows_alpha = AmortizedGeneralSylvester(
+                Z_ALPHA, self.n_flows, q_mode=self.type_flows, name="flows_alpha"
+            )
+            self.flows_rgb = AmortizedGeneralSylvester(
+                Z_RGB, self.n_flows, q_mode=self.type_flows, name="flows_rgb"
+            )
+        elif self.type_flows in ("triangular", "no_flow"):
             self.flows_alpha = AmortizedTriangularSylvester(
                 Z_ALPHA, self.n_flows, name="flows_alpha"
             )
             self.flows_rgb = AmortizedTriangularSylvester(
                 Z_RGB, self.n_flows, name="flows_rgb"
+            )
+        else:
+            # realnvp / glow: the reference's CLI lists them but their
+            # sources were deleted upstream (only .pyc remnants exist,
+            # SURVEY.md section 2) — fail loudly instead of silently
+            # training a different flow family.
+            raise ValueError(
+                f"type_flows={self.type_flows!r} has no implementation "
+                "(the reference's realnvp/glow sources were deleted; its "
+                "CLI silently trained triangular instead). Supported: "
+                "triangular, householder, orthogonal, planar, IAF, no_flow."
             )
 
     # ------------------------------------------------------------------ #
@@ -172,6 +201,16 @@ class NeRFFlows(nn.Module):
                 ldj = ldj + ld
             if not compute_log_det:
                 ldj = jnp.zeros_like(ldj)
+            return z, ldj
+        if self.type_flows in ("householder", "orthogonal"):
+            r1, r2, q, b = amor(h)
+            z, ldj = z0, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
+            for k in range(self.n_flows):
+                z, ld = general_sylvester_step(
+                    z, r1[..., k], r2[..., k], q[..., k], b[..., k],
+                    compute_log_det=compute_log_det,
+                )
+                ldj = ldj + ld
             return z, ldj
         r1, r2, b = amor(h)
         if self.flow_impl in ("pallas", "interpret"):

@@ -37,7 +37,7 @@ from cfnerf_tpu.data.sampler import (
     precompute_depth_rays,
     precompute_rays,
 )
-from cfnerf_tpu.models.factory import create_nerf
+from cfnerf_tpu.models.factory import create_nerf, loss_mode_for_model
 from cfnerf_tpu.ops.metrics import std_over_k, to8b
 from cfnerf_tpu.parallel.mesh import create_mesh, shard_batch, shard_stacked_batch
 from cfnerf_tpu.render.renderer import make_render_rays, render_image
@@ -61,7 +61,7 @@ def load_dataset(args):
         hwf = poses[0, :3, -1]
         poses = poses[:, :3, :4]
         i_train, i_val, i_val_internal = lf_scene_splits(
-            args.dataname, images.shape[0], args.llffhold
+            args.dataname, images.shape[0], args.llffhold, i_test=i_test
         )
         if args.no_ndc:
             near = float(bds.min()) * 0.9
@@ -163,6 +163,9 @@ def render_path(
 
 
 def train(args) -> None:
+    from cfnerf_tpu.utils.config import warn_ignored_flags
+
+    warn_ignored_flags(args)
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 
@@ -260,6 +263,7 @@ def train(args) -> None:
         start_step=start,
         beta1=args.beta1,
         colmap_depth=args.colmap_depth, depth_lambda=args.depth_lambda,
+        loss_mode=loss_mode_for_model(getattr(args, "model", None)),
     )
     train_step, tx = make_train_step(
         model, render_config, tc, mesh=mesh, model_fine=model_fine
@@ -362,6 +366,17 @@ def train(args) -> None:
                     disp_k=np.asarray(out["disp_map"]),
                 )
             img_log_idx += 1
+
+        if i > start and _crossed(i_prev, i, args.i_testset) and len(scene["i_val"]) > 0:
+            # held-out-set export (reference flag surface :707; its render
+            # path crashes — this is the intended behavior)
+            testsavedir = os.path.join(rundir, f"testset_{i:06d}")
+            os.makedirs(testsavedir, exist_ok=True)
+            render_path(
+                scene["poses"][scene["i_val"]], scene, args, render_rays_test,
+                params, savedir=testsavedir, render_factor=args.render_factor,
+            )
+            print("Saved test set renders to", testsavedir)
 
         if i > 0 and _crossed(i_prev, i, args.i_video):
             rgbs, disps, _ = render_path(

@@ -54,6 +54,8 @@ class TrainConfig:
     beta1: float = 0.0
     colmap_depth: bool = False
     depth_lambda: float = 0.1
+    # 'kde' (CF-NeRF sample NLL) or 'mse' (baseline nerf/nerf_dropout models)
+    loss_mode: str = "kde"
     # rematerialize the model forward in the backward pass: trades ~30%
     # recompute for O(depth) activation memory, the standard TPU HBM lever
     # for scaling the ray batch (SURVEY.md sec. "HBM bandwidth")
@@ -158,16 +160,30 @@ def make_train_step(
         if "loss_entropy0" in out:
             entropy = entropy + out["loss_entropy0"]
 
-        loss, metrics = total_loss(
-            rgbs,
-            batch["target"],
-            entropy,
-            k_samples=cfg.k_samples,
-            beta1=cfg.beta1,
-            depth_k=depth_k,
-            target_depth=target_depth,
-            depth_lambda=cfg.depth_lambda,
-        )
+        if cfg.loss_mode == "mse":
+            # baseline (nerf / nerf_dropout) training: plain MSE on the
+            # mean-over-K render, nerf-pytorch semantics
+            loss = img2mse(rgbs.mean(-1), batch["target"])
+            metrics = {
+                "loss_nll": jnp.zeros(()),
+                "loss_entropy": entropy,
+            }
+            if depth_k is not None and target_depth is not None:
+                d = img2mse(depth_k.mean(-1), target_depth)
+                loss = loss + cfg.depth_lambda * d
+                metrics["depth_loss"] = d
+            metrics["loss"] = loss
+        else:
+            loss, metrics = total_loss(
+                rgbs,
+                batch["target"],
+                entropy,
+                k_samples=cfg.k_samples,
+                beta1=cfg.beta1,
+                depth_k=depth_k,
+                target_depth=target_depth,
+                depth_lambda=cfg.depth_lambda,
+            )
         if "rgb0" in out:  # hierarchical: add the coarse NLL (nerf-pytorch)
             from cfnerf_tpu.train.loss import kde_nll
 

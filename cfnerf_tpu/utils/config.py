@@ -108,7 +108,12 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--netdepth_fine", type=int, default=8)
     parser.add_argument("--netwidth_fine", type=int, default=256)
 
-    parser.add_argument("--model", type=str, default=None, help="model name")
+    parser.add_argument("--model", type=str, default=None,
+                        choices=[None, "nerf_flows", "NeRF_Flows", "nerf",
+                                 "nerf_dropout", "nerf_wild"],
+                        help="model family: the CF-NeRF flow model (default) "
+                             "or an uncertainty baseline (vanilla / "
+                             "MC-dropout / learned-std)")
     parser.add_argument("--N_rand", type=int, default=512, help="rays per gradient step")
     parser.add_argument("--lrate", type=float, default=5e-4)
     parser.add_argument("--lrate_unc", type=float, default=5e-4)
@@ -203,6 +208,47 @@ def config_parser() -> ConfigArgumentParser:
                              "inner loop); >1 amortizes host latency — "
                              "logging cadences are rounded to multiples")
     return parser
+
+
+# Flags that are parsed for reference launch-script compatibility but have
+# no effect, mapped to the reason.  The reference itself parses-and-ignores
+# all of these (verified: no read site in run_nerf_uncertainty_NF.py other
+# than config_parser); we warn loudly instead of silently accepting a
+# non-default value.
+IGNORED_FLAGS = {
+    "lrate_unc": "single optimizer; the reference never builds a second one",
+    "beta_u": "loss weight never read by the reference loss block (:1026-1062)",
+    "beta_p": "loss weight never read by the reference loss block (:1026-1062)",
+    "optimize_global": "no read site in the reference",
+    "optimize_skip": "no read site in the reference",
+    "use_prior": "no read site in the reference (NeRF_Flows is 'no prior')",
+    "z_size": "forced to 3 by the reference model (models.py:31)",
+    "n_hidden": "only read by the dead IAF path in the reference",
+    "shape": "deepvoxels leftover; no deepvoxels loader exists",
+    "netchunk_per_gpu": "the TPU path has no netchunk loop (one fused jit)",
+}
+
+_IGNORED_DEFAULTS = {
+    "lrate_unc": 5e-4, "beta_u": 0.1, "beta_p": 0.05,
+    "optimize_global": False, "optimize_skip": 2, "use_prior": False,
+    "z_size": 4, "n_hidden": 128, "shape": "greek",
+    "netchunk_per_gpu": 1024 * 64,
+}
+
+
+def warn_ignored_flags(args) -> List[str]:
+    """Warn (stderr) for every accepted-but-unwired flag set to a
+    non-default value; returns the list of warned flag names."""
+    warned = []
+    for name, reason in IGNORED_FLAGS.items():
+        if getattr(args, name, _IGNORED_DEFAULTS[name]) != _IGNORED_DEFAULTS[name]:
+            print(
+                f"WARNING: --{name} is accepted for launch-script "
+                f"compatibility but has no effect ({reason})",
+                file=sys.stderr,
+            )
+            warned.append(name)
+    return warned
 
 
 def parse_args(argv: Optional[Sequence[str]] = None):

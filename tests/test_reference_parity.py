@@ -196,6 +196,37 @@ def test_triangular_sylvester_step_parity(z_size, flip):
     assert ld_ref_t == 0 and np.all(np.asarray(ld_ours_t) == 0.0)
 
 
+@pytest.mark.parametrize("z_size", [1, 3])
+def test_general_sylvester_step_parity(z_size):
+    """GENERAL Sylvester (orthogonal Q) vs the reference's dead Sylvester
+    class (flows.py:89-165) with a random orthogonal Q."""
+    from cfnerf_tpu.flows.sylvester import general_sylvester_step
+
+    rng = np.random.RandomState(14)
+    B, K = 8, 5
+    r1, r2, b = _triangular_params(rng, B, z_size)
+    z = rng.randn(B, K, z_size).astype(np.float32)
+    # random orthogonal Q per point
+    q = np.linalg.qr(rng.randn(B, z_size, z_size))[0].astype(np.float32)
+
+    flow = REF_FLOWS.Sylvester(z_size)
+    tile = lambda a: torch.from_numpy(np.repeat(a, K, axis=0))
+    z_flat = torch.from_numpy(z.reshape(B * K, z_size))
+    z_ref, ld_ref = flow._forward(
+        z_flat, tile(r1), tile(r2), tile(q), tile(b[:, None, :]), sum_ldj=True
+    )
+    z_ours, ld_ours = general_sylvester_step(
+        jnp.asarray(z), jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(q),
+        jnp.asarray(b),
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_ours).reshape(B * K, z_size), t2n(z_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld_ours).reshape(B * K), t2n(ld_ref), rtol=1e-4, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("z_size,flag,h_size", [(1, "alpha", 8), (3, "rgb", 8)])
 def test_amortized_stack_parity(z_size, flag, h_size):
     """Amortization nets + n_flows chain with alternating flip
