@@ -23,6 +23,13 @@ from typing import List, Tuple
 import numpy as np
 
 from cfnerf_tpu.data.colmap import read_images_binary, read_points3d_binary, qvec2rotmat
+from cfnerf_tpu.data.poses import (
+    _unit,
+    average_pose,
+    recenter_poses,
+    spherify_poses,
+    spiral_path,
+)
 
 
 # --------------------------- image I/O ------------------------------------ #
@@ -128,103 +135,6 @@ def _load_data(basedir, factor=None, width=None, height=None, load_imgs=True):
     return poses, bds, imgs
 
 
-# --------------------------- pose utilities ------------------------------- #
-
-def normalize(x):
-    return x / np.linalg.norm(x)
-
-
-def viewmatrix(z, up, pos):
-    vec2 = normalize(z)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
-
-
-def poses_avg(poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
-
-
-def recenter_poses(poses):
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses4 = np.concatenate([poses[:, :3, :4], bottom], -2)
-    poses4 = np.linalg.inv(c2w) @ poses4
-    poses_[:, :3, :4] = poses4[:, :3, :4]
-    return poses_
-
-
-def render_path_spiral(c2w, up, rads, focal, zdelta, zrate, rots, N) -> List[np.ndarray]:
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(
-            c2w[:3, :4],
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads,
-        )
-        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
-    return render_poses
-
-
-def spherify_poses(poses, bds):
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
-
-    def min_line_dist(rays_o, rays_d):
-        A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -A_i @ rays_o
-        return np.squeeze(
-            -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ b_i.mean(0)
-        )
-
-    center = min_line_dist(rays_o, rays_d)
-    up = (poses[:, :3, 3] - center).mean(0)
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
-
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad ** 2 - zh ** 2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up))
-        vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1
-    )
-    poses_reset = np.concatenate(
-        [poses_reset[:, :3, :4], np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)],
-        -1,
-    )
-    return poses_reset, new_poses, bds
-
-
 # --------------------------- public entry points --------------------------- #
 
 def load_llff_data(
@@ -255,8 +165,8 @@ def load_llff_data(
     if spherify:
         poses, render_poses, bds = spherify_poses(poses, bds)
     else:
-        c2w = poses_avg(poses)
-        up = normalize(poses[:, :3, 1].sum(0))
+        c2w = average_pose(poses)
+        up = _unit(poses[:, :3, 1].sum(0))
         close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
         dt = 0.75
         focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
@@ -271,12 +181,13 @@ def load_llff_data(
             rads[2] = 0.0
             N_rots = 1
             N_views //= 2
-        render_poses = render_path_spiral(
-            c2w_path, up, rads, focal, zdelta, zrate=0.5, rots=N_rots, N=N_views
+        render_poses = spiral_path(
+            c2w_path, up, rads, focal, zdelta, zrate=0.5, rots=N_rots,
+            n_frames=N_views,
         )
 
     render_poses = np.array(render_poses).astype(np.float32)
-    c2w = poses_avg(poses)
+    c2w = average_pose(poses)
     dists = np.sum(np.square(c2w[:3, 3] - poses[:, :3, 3]), -1)
     i_test = int(np.argmin(dists))
 

@@ -168,6 +168,8 @@ def train(args) -> None:
     warn_ignored_flags(args)
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "debug_infs", False):
+        jax.config.update("jax_debug_infs", True)
 
     scene = load_dataset(args)
     H, W, focal = scene["H"], scene["W"], scene["focal"]
@@ -293,8 +295,22 @@ def train(args) -> None:
             batch.pop("ray_weights")  # loaded-but-unused in the reference loss
         return batch
 
+    def _device_batch(step):
+        return shard_batch(
+            mesh, {k: jnp.asarray(v) for k, v in _sample_batch(step).items()}
+        )
+
     def _crossed(prev, cur, cadence):
         return cadence > 0 and (prev // cadence) != (cur // cadence)
+
+    prefetcher = None
+    if n_inner == 1:
+        # double-buffered host pipeline: batch n+1 is sampled + uploaded on
+        # a worker thread while the device runs step n (SURVEY.md sec. 7
+        # stage 5; the reference's host loop is fully synchronous)
+        from cfnerf_tpu.data.prefetch import BatchPrefetcher
+
+        prefetcher = BatchPrefetcher(_device_batch, start)
 
     prof_state = 0  # 0 = pending, 1 = tracing, 2 = done
     i = start
@@ -312,9 +328,7 @@ def train(args) -> None:
         i_prev = i
         rng, krng = jax.random.split(rng)
         if n_inner == 1:
-            i += 1
-            batch = _sample_batch(i)
-            batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+            i, batch = prefetcher.next()
             params, opt_state, metrics = train_step(params, opt_state, batch, krng)
         else:
             samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
@@ -386,5 +400,7 @@ def train(args) -> None:
             _save_video(rgbs, moviebase + "rgb.mp4")
             _save_video(disps / (np.max(disps) + 1e-8), moviebase + "disp.mp4")
 
+    if prefetcher is not None:
+        prefetcher.close()
     logger.close()
     print("Training complete.")

@@ -193,6 +193,10 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans (numerics sanitizer; the "
                              "reference runs torch anomaly mode globally)")
+    parser.add_argument("--debug_infs", action="store_true",
+                        help="enable jax_debug_infs (the inf half of the "
+                             "reference's DEBUG NaN/Inf scan over render "
+                             "outputs, run_nerf_uncertainty_NF.py:549-551)")
     parser.add_argument("--flow_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "interpret"],
                         help="triangular flow stack implementation: fused "
