@@ -1,18 +1,31 @@
-"""Benchmark: CF-NeRF training throughput in rays/sec/chip.
+"""Benchmark: CF-NeRF training + K-sample inference throughput, with MFU.
 
 Runs the flagship configuration from the reference launch script
 (/root/reference/train_NF.sh: D=8, W=512, N_samples=128 with the 96+32
 schedule, K=32 Monte-Carlo draws, 4 triangular Sylvester flows,
-h_alpha=h_rgb=64) with the device-resident scan trainer (n_inner optimizer
-steps per dispatch), scanning the ray batch size for best sustained
-throughput on one chip, then prints ONE JSON line.
+h_alpha=h_rgb=64):
+
+  * TRAIN: the device-resident scan trainer (n_inner steps per dispatch),
+    sweeping ray batch size x remat — every combination is tried
+    independently (an OOM at one point never hides a later config).
+  * INFERENCE: the jitted test-mode renderer (fixed-eps K draws, no
+    log-det, fwd only) over a ray-batch sweep — the "K-sample inference"
+    half of the BASELINE.json metric.
+
+MFU framing (the FLOP model is in flops_per_ray below): at D8/W512/N128/K32
+the model forward is ~4.8 MFLOP/point of matmuls => ~0.62 GFLOP/ray fwd and
+~1.9 GFLOP/ray train (fwd+bwd ~= 3x fwd).  On a 197-TFLOP/s (bf16) v5e
+chip the TRAIN compute ceiling is ~106k rays/s/chip and the INFERENCE
+ceiling ~320k rays/s/chip: the 1M rays/s north-star in BASELINE.json is
+~9x beyond physics at this config — vs_baseline is reported against it
+regardless, with achieved MFU as the honest utilization measure.
 
 Timing methodology: a concrete loss VALUE is fetched after the timed
 region — on remote-tunneled runtimes block_until_ready() can return before
 execution finishes, so only a value fetch is an honest fence.
 
-vs_baseline is measured against the 1M rays/sec/chip north-star from
-BASELINE.json (the reference publishes no benchmark numbers — BASELINE.md).
+Prints ONE JSON line (train rays/s is the headline metric; inference and
+MFU ride along).
 """
 from __future__ import annotations
 
@@ -22,100 +35,219 @@ import time
 
 import numpy as np
 
+D, W = 8, 512
+INPUT_CH, INPUT_CH_VIEWS = 63, 27
+H_SIZE = 64
+N_FLOWS = 4
+N_SAMPLES = 128
+K_SAMPLES = 32
 
-def make_batches(R, n_inner, rng):
-    import jax.numpy as jnp
-
-    return {
-        "rays_o": jnp.asarray(rng.randn(n_inner, R, 3), jnp.float32),
-        "rays_d": jnp.asarray(
-            np.concatenate(
-                [rng.randn(n_inner, R, 2) * 0.05, -np.ones((n_inner, R, 1))], -1
-            ),
-            jnp.float32,
-        ),
-        "target": jnp.asarray(rng.rand(n_inner, R, 3), jnp.float32),
-    }
+# bf16 peak matmul throughput per chip, by device_kind substring
+PEAK_TFLOPS = {
+    "v5 lite": 197.0, "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6 lite": 918.0, "v6e": 918.0,
+    "cpu": 0.5,  # nominal, so MFU stays defined in CI
+}
 
 
-def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
-                compute_dtype: str = "bfloat16", remat: bool = True,
-                k_samples: int = 32, n_samples: int = 128) -> float:
+def matmul_flops_per_point() -> float:
+    """Matmul FLOPs (2*m*n per row) of one model forward for one 3D point,
+    one K handled separately (flow stack is elementwise, not matmul)."""
+    mm = lambda fi, fo: 2.0 * fi * fo
+    f = mm(INPUT_CH, W)
+    skips = (D // 2,)
+    for i in range(1, D):
+        fan_in = W + INPUT_CH if (i - 1) in skips else W
+        f += mm(fan_in, W)
+    f += mm(W, W)                        # feature_linear
+    f += mm(W, H_SIZE)                   # h_alpha_linear
+    f += mm(W + INPUT_CH_VIEWS, W // 2)  # views_linear
+    f += mm(W // 2, H_SIZE)              # h_rgb_linear
+    for z in (1, 3):                     # flow amortization heads
+        f += mm(H_SIZE, N_FLOWS * z * z) + 3 * mm(H_SIZE, N_FLOWS * z)
+    return f
+
+
+def flops_per_ray(train: bool) -> float:
+    per_point = matmul_flops_per_point()
+    mult = 3.0 if train else 1.0  # bwd ~= 2x fwd matmul FLOPs
+    return per_point * N_SAMPLES * mult
+
+
+def peak_tflops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return 197.0  # assume v5e-class if unknown
+
+
+def _build(compute_dtype="bfloat16", remat=True):
     import jax
     import jax.numpy as jnp
 
     from cfnerf_tpu.models.nerf_flows import NeRFFlows
     from cfnerf_tpu.render.renderer import RenderConfig
-    from cfnerf_tpu.train.step import TrainConfig, make_train_loop
+    from cfnerf_tpu.train.step import TrainConfig
 
     model = NeRFFlows(
-        net_depth=8, net_width=512, input_ch=63, input_ch_views=27,
-        skips=(4,), h_alpha_size=64, h_rgb_size=64, n_flows=4,
-        k_samples=k_samples, use_viewdirs=True, type_flows="triangular",
+        net_depth=D, net_width=W, input_ch=INPUT_CH, input_ch_views=INPUT_CH_VIEWS,
+        skips=(D // 2,), h_alpha_size=H_SIZE, h_rgb_size=H_SIZE, n_flows=N_FLOWS,
+        k_samples=K_SAMPLES, use_viewdirs=True, type_flows="triangular",
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
         flow_impl="pallas" if jax.default_backend() == "tpu" else "xla",
     )
-    rc = RenderConfig(n_samples=n_samples, perturb=True, use_viewdirs=True)
+    rc = RenderConfig(n_samples=N_SAMPLES, perturb=True, use_viewdirs=True)
     tc = TrainConfig(
         H=512, W=512, focal=500.0, ndc=False, near=0.5, far=4.0,
-        k_samples=k_samples, beta1=0.01, remat=remat,
+        k_samples=K_SAMPLES, beta1=0.01, remat=remat,
     )
-    train_loop, tx = make_train_loop(model, rc, tc, mesh=None, n_inner=n_inner)
-
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((2, 90), jnp.float32), is_test=True
     )["params"]
+    return model, rc, tc, params
+
+
+def _ray_batch(R, rng):
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(rng.randn(R, 3), jnp.float32),
+        jnp.asarray(
+            np.concatenate([rng.randn(R, 2) * 0.05, -np.ones((R, 1))], -1), jnp.float32
+        ),
+    )
+
+
+def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
+                remat: bool = False) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from cfnerf_tpu.train.step import make_train_loop
+
+    model, rc, tc, params = _build(remat=remat)
+    train_loop, tx = make_train_loop(model, rc, tc, mesh=None, n_inner=n_inner)
     opt_state = tx.init(params)
 
-    batches = make_batches(batch_size, n_inner, np.random.RandomState(0))
+    rng = np.random.RandomState(0)
+    ro, rd = _ray_batch(batch_size * n_inner, rng)
+    batches = {
+        "rays_o": ro.reshape(n_inner, batch_size, 3),
+        "rays_d": rd.reshape(n_inner, batch_size, 3),
+        "target": jnp.asarray(rng.rand(n_inner, batch_size, 3), jnp.float32),
+    }
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup round; the float() fetch is the only honest fence
     params, opt_state, metrics = train_loop(params, opt_state, batches, key)
-    _ = float(metrics["loss"][-1])
+    _ = float(metrics["loss"][-1])  # compile + honest fence
 
     best = 0.0
     for _ in range(rounds):
         t0 = time.perf_counter()
         params, opt_state, metrics = train_loop(params, opt_state, batches, key)
         _ = float(metrics["loss"][-1])
-        dt = time.perf_counter() - t0
-        best = max(best, batch_size * n_inner / dt)
+        best = max(best, batch_size * n_inner / (time.perf_counter() - t0))
     return best
 
 
-def main():
-    best = 0.0
-    best_cfg = None
-    for batch_size, remat in ((2048, False), (4096, False), (8192, False)):
-        try:
-            rps = bench_train(batch_size, remat=remat)
-            print(f"# batch={batch_size} remat={remat}: {rps:,.0f} rays/s", file=sys.stderr)
-            if rps > best:
-                best, best_cfg = rps, (batch_size, remat)
-            if rps < best * 0.7:
-                break
-        except Exception as e:
-            print(f"# batch={batch_size} remat={remat}: failed ({type(e).__name__})",
-                  file=sys.stderr)
-            # retry once with rematerialization (halves activation memory)
-            try:
-                rps = bench_train(batch_size, remat=True)
-                print(f"# batch={batch_size} remat=True: {rps:,.0f} rays/s", file=sys.stderr)
-                if rps > best:
-                    best, best_cfg = rps, (batch_size, True)
-            except Exception:
-                break
-            break
+def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10) -> float:
+    """Test-mode K-sample render throughput (fixed eps, no grad)."""
+    import jax
+    import jax.numpy as jnp
 
+    from cfnerf_tpu.render.renderer import make_render_rays
+
+    model, rc, tc, params = _build()
+
+    def model_apply(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    rr = make_render_rays(model_apply, rc)
+    rng = np.random.RandomState(0)
+    ro, rd = _ray_batch(batch_size, rng)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    near = jnp.full((batch_size, 1), 0.5)
+    far = jnp.full((batch_size, 1), 4.0)
+
+    @jax.jit
+    def run(params, ro, rd, vd, near, far):
+        def body(_, carry):
+            # the carry feeds the inputs so XLA cannot hoist the render out
+            # of the loop as loop-invariant (which would fake a >1 MFU)
+            out = rr(params, ro + carry * 1e-20, rd, vd, near, far, None,
+                     is_test=True)
+            return out["rgb_map"].mean()
+        # n_reps sequential renders per dispatch amortize dispatch latency
+        return jax.lax.fori_loop(0, n_reps, body, 0.0)
+
+    _ = float(run(params, ro, rd, vd, near, far))  # compile
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _ = float(run(params, ro, rd, vd, near, far))
+        best = max(best, batch_size * n_reps / (time.perf_counter() - t0))
+    return best
+
+
+def _sweep(fn, combos, label):
+    best, best_cfg = 0.0, None
+    for combo in combos:
+        try:
+            rps = fn(**combo)
+            print(f"# {label} {combo}: {rps:,.0f} rays/s", file=sys.stderr)
+            if rps > best:
+                best, best_cfg = rps, combo
+        except Exception as e:
+            print(f"# {label} {combo}: failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    return best, best_cfg
+
+
+def main():
+    train_combos = [
+        dict(batch_size=2048, remat=False, n_inner=20),
+        dict(batch_size=2048, remat=False, n_inner=40),
+        dict(batch_size=4096, remat=False),
+        dict(batch_size=4096, remat=True),
+        dict(batch_size=8192, remat=True),
+    ]
+    train_best, train_cfg = _sweep(bench_train, train_combos, "train")
+
+    infer_combos = [
+        dict(batch_size=4096),
+        dict(batch_size=8192),
+        dict(batch_size=16384),
+    ]
+    infer_best, infer_cfg = _sweep(bench_inference, infer_combos, "infer")
+
+    peak = peak_tflops() * 1e12
+    train_mfu = train_best * flops_per_ray(train=True) / peak
+    infer_mfu = infer_best * flops_per_ray(train=False) / peak
     baseline = 1_000_000.0  # north-star rays/sec/chip (BASELINE.json)
-    bc, br = best_cfg if best_cfg else (0, False)
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(best, 1),
+        "value": round(train_best, 1),
         "unit": "rays/s",
-        "vs_baseline": round(best / baseline, 4),
-        "config": f"D8 W512 N128 K32 flows4 bf16 pallas-flows batch={bc} remat={br} scan10",
+        "vs_baseline": round(train_best / baseline, 4),
+        "train_mfu": round(train_mfu, 4),
+        "inference_rays_per_sec": round(infer_best, 1),
+        "inference_mfu": round(infer_mfu, 4),
+        "train_gflop_per_ray": round(flops_per_ray(True) / 1e9, 3),
+        "compute_ceiling_rays_per_sec": round(peak / flops_per_ray(True), 0),
+        "config": (
+            f"D8 W512 N128 K32 flows4 bf16 "
+            f"train={train_cfg} infer={infer_cfg}"
+        ),
+        "note": (
+            "1M rays/s north-star is ~9x above the matmul-FLOP ceiling at "
+            "this config on v5e; see module docstring for the FLOP model"
+        ),
     }))
 
 

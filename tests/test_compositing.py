@@ -77,3 +77,19 @@ def test_shapes():
     assert rgb.shape == (R, 3, K)
     assert disp.shape == (R, K) and depth.shape == (R, K) and acc.shape == (R, K)
     assert w.shape == (R, S, K)
+
+
+def test_composite_weights_grad_finite_at_saturated_alpha():
+    """alpha == 1.0 exactly (exp underflow at high density) must yield
+    finite gradients — a division-based VJP NaN'd here (round-2 regression
+    caught by the e2e test)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfnerf_tpu.ops.compositing import composite_weights
+
+    alpha = jnp.asarray(np.r_[0.2, 1.0, 0.5, 1.0].astype(np.float32)).reshape(1, 4, 1)
+    g = jnp.ones((1, 4, 1))
+    grad = jax.grad(lambda a: (composite_weights(a) * g).sum())(alpha)
+    assert np.isfinite(np.asarray(grad)).all()
