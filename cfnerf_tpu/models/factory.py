@@ -72,6 +72,7 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
             type_flows=args.type_flows,
             compute_dtype=compute_dtype,
             flow_impl=flow_impl,
+            trunk_impl=getattr(args, "trunk_impl", "xla"),
         )
 
     model = _mk(args.netdepth, args.netwidth)

@@ -82,6 +82,11 @@ class NeRFFlows(nn.Module):
     # (one kernel fwd, one kernel bwd, intermediates in VMEM);
     # 'interpret' runs the same kernel through the Pallas interpreter (CPU)
     flow_impl: str = "xla"  # 'xla' | 'pallas' | 'interpret'
+    # run the trunk MLP + heads as fused Pallas kernels (weights resident
+    # in VMEM, no per-layer HBM round-trips; ops/pallas/trunk.py).  Params
+    # are still created by the flax submodules, so the pytree/checkpoint
+    # layout is identical across impls.
+    trunk_impl: str = "xla"  # 'xla' | 'pallas' | 'interpret'
 
     def setup(self):
         dense = lambda feats, name: TorchDense(
@@ -152,6 +157,23 @@ class NeRFFlows(nn.Module):
         x: (B, input_ch + input_ch_views) embedded points (+ dirs).
         Returns (h_alpha (B, h_alpha_size), h_rgb (B, h_rgb_size)) in f32.
         """
+        if self.trunk_impl != "xla" and not self.is_initializing():
+            from cfnerf_tpu.ops.pallas.trunk import pallas_encode, supported
+
+            if (supported(self.net_depth, self.net_width, self.use_viewdirs)
+                    and self.skips == (self.net_depth // 2,)):
+                names = [f"pts_linear_{i}" for i in range(self.net_depth)] + [
+                    "feature_linear", "views_linear",
+                    "h_alpha_linear", "h_rgb_linear",
+                ]
+                trunk_params = {n: self.variables["params"][n] for n in names}
+                return pallas_encode(
+                    trunk_params, x,
+                    depth=self.net_depth, width=self.net_width,
+                    input_ch=self.input_ch, views_ch=self.input_ch_views,
+                    interpret=(self.trunk_impl == "interpret"),
+                )
+
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)
 

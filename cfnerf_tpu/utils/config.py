@@ -202,6 +202,12 @@ def config_parser() -> ConfigArgumentParser:
                         help="triangular flow stack implementation: fused "
                              "Pallas TPU kernel or XLA elementwise chain "
                              "(auto = pallas on TPU, xla elsewhere)")
+    parser.add_argument("--trunk_impl", type=str, default="xla",
+                        choices=["xla", "pallas", "interpret"],
+                        help="trunk MLP implementation; the fused Pallas "
+                             "kernel is measured slower than XLA at the "
+                             "flagship batch (see ops/pallas/trunk.py) but "
+                             "kept as an option")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of steps "
                              "[profile_start, profile_start+profile_steps)")
