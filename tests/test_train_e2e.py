@@ -86,6 +86,31 @@ def test_llff_train_smoke(tmp_path):
     assert os.path.exists(mfile)
 
 
+def test_i_testset_export(tmp_path):
+    """--i_testset renders the held-out set to testset_{step:06d}/
+    (implemented intended behavior; the reference's path crashes)."""
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+    args = _base_args(datadir, basedir, extra=["--i_testset", "10",
+                                               "--render_factor", "2"])
+    train(args)
+    rundir = os.path.join(basedir, "tiny", "triangular", "t")
+    testdirs = glob.glob(os.path.join(rundir, "testset_*"))
+    assert testdirs, os.listdir(rundir)
+    assert glob.glob(os.path.join(testdirs[0], "*.png"))
+
+
+def test_baseline_model_cli(tmp_path):
+    """--model nerf_dropout trains through the same loop (MSE loss mode)."""
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+    args = _base_args(datadir, basedir, extra=["--model", "nerf_dropout"])
+    train(args)
+    mfile = os.path.join(basedir, "tiny", "summaries", "t", "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mfile)]
+    assert recs and all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
+
+
 def test_scan_trainer_n_inner(tmp_path):
     """--n_inner > 1: device-resident scan over inner steps, cadences on
     crossing detection."""
