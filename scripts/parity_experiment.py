@@ -100,7 +100,7 @@ def precompute_batches(poses, images, i_train, n_steps, seed=0):
 # Reference trainer (torch-cpu, actual /root/reference code)
 # --------------------------------------------------------------------- #
 
-def train_reference(batches, poses, images, i_val, steps, log_every):
+def train_reference(batches, poses, images, i_val, steps, log_every, seed=0):
     import torch
 
     from reference_harness import install_reference, ref_args
@@ -111,7 +111,7 @@ def train_reference(batches, poses, images, i_val, steps, log_every):
         netdepth=DEPTH, netwidth=WIDTH, K_samples=K, skips=SKIPS,
         h_alpha_size=H_SIZE, h_rgb_size=H_SIZE, n_flows=N_FLOWS,
     )
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = ref_models.NeRF_Flows(args)
     embed_fn, _ = ref_helpers.get_embedder(10, 0)
     embeddirs_fn, _ = ref_helpers.get_embedder(4, 0)
@@ -246,6 +246,10 @@ def train_ours(batches, poses, images, i_val, steps, log_every):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the shared lr (default: module LR)")
+    ap.add_argument("--ref_seed", type=int, default=0)
+    ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--log_every", type=int, default=25)
     ap.add_argument("--out", type=str, default="PARITY_r02.json")
     args = ap.parse_args()
@@ -256,17 +260,24 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
+    global LR
+    if args.lr is not None:
+        LR = args.lr
+
     poses, images, i_train, i_val = make_scene()
     batches = precompute_batches(poses, images, i_train, args.steps)
 
-    t0 = time.time()
-    ours_traj, ours_psnr, ours_nll, ours_ause = train_ours(
-        batches, poses, images, i_val, args.steps, args.log_every
-    )
-    t_ours = time.time() - t0
+    ours_traj, ours_psnr, ours_nll, ours_ause, t_ours = [], None, None, None, 0
+    if not args.skip_ours:
+        t0 = time.time()
+        ours_traj, ours_psnr, ours_nll, ours_ause = train_ours(
+            batches, poses, images, i_val, args.steps, args.log_every
+        )
+        t_ours = time.time() - t0
     t0 = time.time()
     ref_traj, ref_psnr = train_reference(
-        batches, poses, images, i_val, args.steps, args.log_every
+        batches, poses, images, i_val, args.steps, args.log_every,
+        seed=args.ref_seed,
     )
     t_ref = time.time() - t0
 
@@ -275,13 +286,13 @@ def main():
         "config": dict(H=H, W=W, n_train=N_TRAIN, n_val=N_VAL, depth=DEPTH,
                        width=WIDTH, n_samples=N_SAMPLES, k_samples=K,
                        n_flows=N_FLOWS, h_size=H_SIZE, lr=LR, beta1=BETA1,
-                       batch=BATCH, steps=args.steps),
+                       batch=BATCH, steps=args.steps, ref_seed=args.ref_seed),
         "ours": {"val_psnr": ours_psnr, "val_nll": ours_nll,
                  "val_ause": ours_ause, "trajectory": ours_traj,
                  "wall_s": round(t_ours, 1)},
         "reference": {"val_psnr": ref_psnr, "trajectory": ref_traj,
                       "wall_s": round(t_ref, 1)},
-        "psnr_delta_db": round(ours_psnr - ref_psnr, 3),
+        "psnr_delta_db": round(ours_psnr - ref_psnr, 3) if ours_psnr is not None else None,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

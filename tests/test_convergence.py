@@ -1,0 +1,113 @@
+"""Convergence floor on a multi-view volumetric scene (slow).
+
+Guards real learning, not just smoke: 600 steps on a soft emission-
+absorption blob must clear a held-out-view PSNR floor well above the best
+constant predictor (13.2 dB on this scene; 400 steps measured 16.8).  (The harder two-sphere surface scene is used by
+scripts/parity_experiment.py for the recorded comparison against the live
+torch reference — that scene sits near a learn-vs-collapse bifurcation at
+short schedules and is unsuitable for a pass/fail gate.)
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfnerf_tpu.ops.rays import get_rays_np
+
+H = W = 24
+FOCAL = 24.0
+NEAR, FAR = 2.0, 7.0
+
+
+def _gt_render(ro, rd):
+    """Volumetric soft blob, white background (numpy quadrature)."""
+    d = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    t = np.linspace(NEAR, FAR, 192)
+    pts = ro[:, None, :] + d[:, None, :] * t[None, :, None]
+    sigma = 4.0 * np.exp(-((pts ** 2).sum(-1)) / 0.8)
+    color = 0.5 + 0.5 * np.stack(
+        [np.sin(pts[..., 0] * 2), np.cos(pts[..., 1] * 2), np.sin(pts[..., 2] * 2)], -1
+    )
+    dt = t[1] - t[0]
+    alpha = 1 - np.exp(-sigma * dt)
+    T = np.cumprod(
+        np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], 1), 1
+    )[:, :-1]
+    wgt = alpha * T
+    rgb = (wgt[..., None] * color).sum(1) + (1 - wgt.sum(1))[..., None]
+    return rgb.astype(np.float32)
+
+
+def make_blob_scene(n_views=6):
+    poses, images = [], []
+    for i in range(n_views):
+        th = 2 * np.pi * i / n_views
+        origin = np.array([4.0 * np.sin(th), 0.5, 4.0 * np.cos(th)])
+        bwd = origin / np.linalg.norm(origin)
+        x = np.cross([0, 1, 0], bwd)
+        x /= np.linalg.norm(x)
+        y = np.cross(bwd, x)
+        c2w = np.stack([x, y, bwd, origin], 1).astype(np.float32)
+        ro, rd = get_rays_np(H, W, FOCAL, c2w)
+        poses.append(c2w)
+        images.append(_gt_render(ro.reshape(-1, 3), rd.reshape(-1, 3)).reshape(H, W, 3))
+    return np.stack(poses), np.stack(images)
+
+
+@pytest.mark.slow
+def test_psnr_floor_heldout_view():
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows
+    from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays, render_image
+    from cfnerf_tpu.train.step import TrainConfig, make_train_step
+
+    poses, images = make_blob_scene()
+    i_train, i_val = list(range(5)), [5]
+
+    rays = []
+    for i in i_train:
+        ro, rd = get_rays_np(H, W, FOCAL, poses[i])
+        rays.append(np.concatenate(
+            [ro.reshape(-1, 3), rd.reshape(-1, 3), images[i].reshape(-1, 3)], -1
+        ))
+    flat = np.concatenate(rays).astype(np.float32)
+    np.random.RandomState(0).shuffle(flat)
+
+    model = NeRFFlows(
+        net_depth=4, net_width=64, input_ch=63, input_ch_views=27, skips=(2,),
+        h_alpha_size=16, h_rgb_size=16, n_flows=2, k_samples=8,
+        use_viewdirs=True, type_flows="triangular",
+    )
+    rc = RenderConfig(n_samples=64, perturb=True, use_viewdirs=True)
+    tc = TrainConfig(H=H, W=W, focal=FOCAL, ndc=False, near=NEAR, far=FAR,
+                     k_samples=8, lrate=5e-3, beta1=0.01)
+    step_fn, tx = make_train_step(model, rc, tc)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True)["params"]
+    opt = tx.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    B, ptr = 256, 0
+    for s in range(600):
+        if ptr + B > len(flat):
+            np.random.RandomState(s).shuffle(flat)
+            ptr = 0
+        b = flat[ptr : ptr + B]
+        ptr += B
+        rng, k1 = jax.random.split(rng)
+        batch = {"rays_o": jnp.asarray(b[:, :3]), "rays_d": jnp.asarray(b[:, 3:6]),
+                 "target": jnp.asarray(b[:, 6:9])}
+        params, opt, m = step_fn(params, opt, batch, k1)
+
+    def model_apply(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    rr = make_render_rays(model_apply, rc)
+    out = render_image(rr, params, jnp.asarray(poses[i_val[0]]), H=H, W=W,
+                       focal=FOCAL, ndc=False, use_viewdirs=True,
+                       near=NEAR, far=FAR, tile=576)
+    rgb_k = np.asarray(out["rgb_map"])
+    mse = float(((rgb_k.mean(-1) - images[i_val[0]]) ** 2).mean())
+    psnr = -10 * np.log10(mse)
+    assert psnr > 15.0, f"held-out PSNR {psnr:.2f} — no real learning"
+    # uncertainty is alive: std over K draws nonzero
+    assert float(np.asarray(out["rgb_map"]).std(-1).mean()) > 1e-5
