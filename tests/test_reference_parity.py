@@ -18,7 +18,15 @@ Covered (VERDICT.md round-1 task 2 list):
   * KDE NLL loss                 run_nerf_uncertainty_NF.py:1031-1042
   * render_rays end-to-end       run_nerf_uncertainty_NF.py:457-553
                                  (dummy radiance field, perturb=0)
+  * sample()/interpolation()     model/models.py:69-163
+  * general Sylvester step       model/flow/flows.py:89-165
+  * img2mse/mse2psnr/to8b        run_nerf_helpers.py:15-17
+  * AUSE sparsification curves   run_nerf_helpers.py:382-438
+  * get_rays_by_coord_np         run_nerf_helpers.py:440-445
+  * pose_spherical + blender loader  load_blender.py:8-95 (end-to-end)
+  * LLFF loader end-to-end       load_llff.py:278-361 (poses/bds/i_test)
 """
+import os
 import sys
 
 import numpy as np
@@ -551,3 +559,131 @@ def test_render_rays_end_to_end_parity():
     np.testing.assert_allclose(
         np.asarray(out["depth_map"]), t2n(ret["depth_map"]), rtol=1e-4, atol=1e-5
     )
+
+
+# --------------------------------------------------------------------- #
+# Metrics / AUSE / coord rays / loaders
+# --------------------------------------------------------------------- #
+
+def test_scalar_metrics_parity():
+    from cfnerf_tpu.ops.metrics import img2mse, mse2psnr, to8b
+
+    rng = np.random.RandomState(20)
+    a = rng.rand(9, 3).astype(np.float32)
+    b = rng.rand(9, 3).astype(np.float32)
+    mse_ref = REF_HELPERS.img2mse(torch.from_numpy(a), torch.from_numpy(b))
+    np.testing.assert_allclose(float(img2mse(jnp.asarray(a), jnp.asarray(b))),
+                               float(mse_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(mse2psnr(jnp.asarray(float(mse_ref)))),
+        float(REF_HELPERS.mse2psnr(mse_ref)), rtol=1e-5,
+    )
+    x = rng.randn(4, 4, 3).astype(np.float32)
+    np.testing.assert_array_equal(to8b(x), REF_HELPERS.to8b(x))
+
+
+def test_sparsification_plot_parity():
+    """AUSE curves vs the reference's pncnn-derived implementation
+    (run_nerf_helpers.py:382-438)."""
+    from cfnerf_tpu.ops.metrics import sparsification_plot
+
+    rng = np.random.RandomState(21)
+    n = 1000
+    err = (rng.rand(n) ** 2).astype(np.float32)
+    var = (err * (0.5 + rng.rand(n))).astype(np.float32)  # correlated
+
+    ref_oracle, ref_by_var = REF_HELPERS.sparsification_plot(
+        torch.from_numpy(var), torch.from_numpy(err)
+    )
+    oracle, by_var = sparsification_plot(var, err)
+    np.testing.assert_allclose(oracle, ref_oracle, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(by_var, ref_by_var, rtol=1e-5, atol=1e-6)
+
+
+def test_get_rays_by_coord_parity():
+    from cfnerf_tpu.ops.rays import get_rays_by_coord_np
+
+    rng = np.random.RandomState(22)
+    c2w = np.eye(4, dtype=np.float64)[:3]
+    c2w[:, 3] = [0.2, -0.1, 1.0]
+    H, W, focal = 12, 16, 14.0
+    coords = rng.randint(0, 12, (31, 2)).astype(np.float64)
+    ro_ref, rd_ref = REF_HELPERS.get_rays_by_coord_np(H, W, focal, c2w, coords)
+    ro, rd = get_rays_by_coord_np(H, W, focal, c2w, coords)
+    np.testing.assert_allclose(ro, ro_ref, rtol=1e-12)
+    np.testing.assert_allclose(rd, rd_ref, rtol=1e-12)
+
+
+def test_pose_spherical_parity():
+    import load_blender as ref_blender
+
+    from cfnerf_tpu.data.blender import pose_spherical
+
+    for theta, phi, radius in ((-180.0, -30.0, 4.0), (45.0, -55.0, 3.3),
+                               (120.0, -10.0, 5.1)):
+        ref = t2n(ref_blender.pose_spherical(theta, phi, radius))
+        got = np.asarray(pose_spherical(theta, phi, radius))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_blender_loader_parity(tmp_path):
+    """load_blender_data end-to-end vs the reference on the same synthetic
+    dataset (images, poses, splits, render poses, hwf)."""
+    import load_blender as ref_blender
+
+    from cfnerf_tpu.data.blender import load_blender_data
+    from tests.datagen import make_blender_dataset
+
+    root = make_blender_dataset(str(tmp_path / "scene"), H=10, W=10)
+    imgs, poses, render_poses, hwf, i_split = load_blender_data(root, False, 1)
+    r_imgs, r_poses, r_render, r_hwf, r_split = ref_blender.load_blender_data(
+        root, False, 1
+    )
+    np.testing.assert_allclose(imgs, r_imgs, atol=1e-6)
+    np.testing.assert_allclose(poses, r_poses, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(render_poses), t2n(r_render), atol=1e-5)
+    np.testing.assert_allclose(hwf, r_hwf)
+    for a, b in zip(i_split, r_split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_llff_loader_parity(tmp_path):
+    """load_llff_data end-to-end vs the reference on the same synthetic
+    dataset (poses, bds, render path, nearest-to-mean i_test). The
+    reference calls imageio.imread(..., ignoregamma=True) which modern
+    imageio rejects — shimmed for the comparison."""
+    import load_llff as ref_llff
+
+    from cfnerf_tpu.data.llff import load_llff_data
+    from tests.datagen import make_llff_dataset
+
+    root = make_llff_dataset(str(tmp_path / "scene"), H=12, W=12, n_images=6)
+
+    # the reference minifies for ANY factor (even 1) via an ImageMagick
+    # subprocess (load_llff.py:79-81); pre-creating images_1/ makes its
+    # _minify guard skip the shell-out
+    import shutil
+
+    shutil.copytree(os.path.join(root, "images"), os.path.join(root, "images_1"))
+
+    orig_imread = ref_llff.imageio.imread
+    def imread(path, **kw):
+        kw.pop("ignoregamma", None)
+        return orig_imread(path, **kw)
+    ref_llff.imageio.imread = imread
+    try:
+        r_imgs, r_poses, r_bds, r_render, r_i_test = ref_llff.load_llff_data(
+            root, factor=1, recenter=True, bd_factor=0.75, spherify=False
+        )
+    finally:
+        ref_llff.imageio.imread = orig_imread
+
+    imgs, poses, bds, render_poses, i_test = load_llff_data(
+        root, factor=1, recenter=True, bd_factor=0.75, spherify=False
+    )
+    np.testing.assert_allclose(imgs, r_imgs, atol=1e-6)
+    np.testing.assert_allclose(poses, r_poses, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(bds, r_bds, rtol=1e-5)
+    np.testing.assert_allclose(render_poses, np.asarray(r_render, np.float32),
+                               rtol=1e-4, atol=1e-4)
+    assert int(i_test) == int(r_i_test)
