@@ -43,9 +43,10 @@ from cfnerf_tpu.utils.visualization import (
 
 def kde_nll_per_pixel(rgb_k: np.ndarray, gt: np.ndarray, k: int) -> np.ndarray:
     """Per-pixel Parzen NLL, same bandwidth rule as the training loss
-    (run_nerf_uncertainty_NF.py:1031-1042)."""
+    (run_nerf_uncertainty_NF.py:1031-1042 — torch.std, ddof=1; this is the
+    BANDWIDTH convention, distinct from std_over_k's map convention)."""
     eps = 1e-5
-    std = std_over_k(rgb_k)
+    std = rgb_k.std(-1, ddof=1) * k / (k - 1)
     h = std * (0.8 / k) ** (-1.0 / 7.0) + eps
     h = h[..., None]
     kernel = np.exp(-((rgb_k - gt[..., None]) ** 2) / (2 * h * h))

@@ -86,16 +86,27 @@ def read_fused(ply_path, vis_path) -> Dict[str, np.ndarray]:
     (n_vis,) = struct.unpack_from("<Q", buf, 0)
     if n_vis != n:
         raise ValueError(f"fused.ply has {n} points but .vis has {n_vis}")
+    # vectorized walk: the payload is uint32 words [c_0, idx..., c_1, idx...]
+    # — counts sit at positions cumsum(c_i + 1); one frombuffer + np.split
+    # instead of a per-point Python loop (millions of points at fusion scale)
+    words = np.frombuffer(buf, dtype="<u4", offset=8)
     counts = np.empty(n, np.int64)
+    pos = 0
+    count_pos = np.empty(n, np.int64)
+    for i in range(n):  # positions depend on prior counts — O(n) scalar walk
+        count_pos[i] = pos
+        counts[i] = words[pos]
+        pos += 1 + counts[i]
+    if pos != len(words):
+        raise ValueError(
+            f".vis payload has {len(words)} words, walk consumed {pos}"
+        )
+    keep = np.ones(len(words), bool)
+    keep[count_pos] = False
+    all_idx = words[keep]
     idx_lists = np.empty(n, object)
-    off = 8
-    u32 = np.dtype("<u4")
-    for i in range(n):
-        (c,) = struct.unpack_from("<I", buf, off)
-        off += 4
-        counts[i] = c
-        idx_lists[i] = np.frombuffer(buf, dtype=u32, count=c, offset=off).copy()
-        off += 4 * c
+    for i, chunk in enumerate(np.split(all_idx, np.cumsum(counts)[:-1])):
+        idx_lists[i] = chunk
     out["vis_count"] = counts
     out["vis_idx"] = idx_lists
     return out

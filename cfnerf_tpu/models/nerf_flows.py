@@ -160,19 +160,28 @@ class NeRFFlows(nn.Module):
         if self.trunk_impl != "xla" and not self.is_initializing():
             from cfnerf_tpu.ops.pallas.trunk import pallas_encode, supported
 
-            if (supported(self.net_depth, self.net_width, self.use_viewdirs)
+            if not (supported(self.net_depth, self.net_width, self.use_viewdirs)
                     and self.skips == (self.net_depth // 2,)):
-                names = [f"pts_linear_{i}" for i in range(self.net_depth)] + [
-                    "feature_linear", "views_linear",
-                    "h_alpha_linear", "h_rgb_linear",
-                ]
-                trunk_params = {n: self.variables["params"][n] for n in names}
-                return pallas_encode(
-                    trunk_params, x,
-                    depth=self.net_depth, width=self.net_width,
-                    input_ch=self.input_ch, views_ch=self.input_ch_views,
-                    interpret=(self.trunk_impl == "interpret"),
+                # same policy as the flag audit: never silently ignore an
+                # explicit implementation choice
+                raise ValueError(
+                    f"trunk_impl={self.trunk_impl!r} requires use_viewdirs, "
+                    f"width % 128 == 0 (and width//2), and skips == "
+                    f"(depth//2,); got width={self.net_width}, "
+                    f"skips={self.skips}, use_viewdirs={self.use_viewdirs}. "
+                    "Use trunk_impl='xla' for this configuration."
                 )
+            names = [f"pts_linear_{i}" for i in range(self.net_depth)] + [
+                "feature_linear", "views_linear",
+                "h_alpha_linear", "h_rgb_linear",
+            ]
+            trunk_params = {n: self.variables["params"][n] for n in names}
+            return pallas_encode(
+                trunk_params, x,
+                depth=self.net_depth, width=self.net_width,
+                input_ch=self.input_ch, views_ch=self.input_ch_views,
+                interpret=(self.trunk_impl == "interpret"),
+            )
 
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)

@@ -29,14 +29,21 @@ def to8b(x: np.ndarray) -> np.ndarray:
 
 
 def std_over_k(x: np.ndarray, axis: int = -1) -> np.ndarray:
-    """Per-pixel uncertainty std over the K Monte-Carlo draws, in the
-    reference's exact convention: torch.std (Bessel, ddof=1) scaled by
-    n/(n-1) (/root/reference/run_nerf_uncertainty_NF.py:1129-1131).  The
-    single std formula for every uncertainty map, AUSE input, exported PLY,
-    and the KDE bandwidth."""
+    """Per-pixel uncertainty std over the K Monte-Carlo draws for MAPS,
+    AUSE inputs, and exports, in the reference's exact map convention:
+    np.std (ddof=0) scaled by n/(n-1)
+    (/root/reference/run_nerf_uncertainty_NF.py:1129-1131, :1166-1168).
+
+    NOTE the reference uses TWO conventions: its training bandwidth is
+    torch.std (ddof=1) * n/(n-1) (:1034 — see train/loss.py and
+    cli.eval.kde_nll_per_pixel); its logged/exported maps are np.std
+    (ddof=0) * n/(n-1).  This helper is the map convention.  K=1 returns
+    zeros (a deterministic model has no sample spread)."""
     x = np.asarray(x)
     n = x.shape[axis]
-    return np.std(x, axis=axis, ddof=1) * n / (n - 1)
+    if n <= 1:
+        return np.zeros(x.shape[:axis] + x.shape[axis:][1:], x.dtype)
+    return np.std(x, axis=axis) * n / (n - 1)
 
 
 def sparsification_plot(

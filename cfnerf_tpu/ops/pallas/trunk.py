@@ -266,11 +266,16 @@ def _bwd_bottom_kernel(x_ref, *refs, depth):
 # custom-VJP wrapper
 # ------------------------------------------------------------------ #
 
+TILE_ROWS = 256  # rows per grid step; callers pad B up to a multiple
+
+
 def _tile(B):
-    for t in (256, 128, 64, 32, 16):
-        if B % t == 0:
-            return t
-    return B
+    """Fixed tile: pallas_encode pads the row count to a TILE_ROWS multiple
+    (a divisor search here would silently fall back to one full-batch VMEM
+    tile for awkward batch sizes, e.g. large primes, and overflow VMEM)."""
+    if B % TILE_ROWS != 0:
+        raise ValueError(f"internal: B={B} not padded to {TILE_ROWS}")
+    return TILE_ROWS
 
 
 def _full_spec(shape):
@@ -445,8 +450,7 @@ def pallas_encode(
     v_pad = ((views_ch + LANE - 1) // LANE) * LANE
 
     B = x.shape[0]
-    T = _tile(B)
-    B_pad = ((B + T - 1) // T) * T
+    B_pad = ((B + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
 
     xp = _pad_cols(x[:, :input_ch], in_pad)
     xv = _pad_cols(x[:, input_ch:], v_pad)

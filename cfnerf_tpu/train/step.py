@@ -63,14 +63,17 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # resume offset: a fresh opt_state at count=0 must yield
+    # lrate * 0.1^(start_step/decay_steps).  Folded into init_value because
+    # optax SILENTLY CLAMPS a negative transition_begin to 0 (verified:
+    # transition_begin=-start is a no-op); exponential decay factors, so
+    # scaling init_value by the elapsed decay is exact.
+    decay_steps = cfg.lrate_decay * 1000
     schedule = optax.exponential_decay(
-        init_value=cfg.lrate,
-        transition_steps=cfg.lrate_decay * 1000,
+        init_value=cfg.lrate * (0.1 ** (cfg.start_step / decay_steps)),
+        transition_steps=decay_steps,
         decay_rate=0.1,
         staircase=False,
-        # negative transition_begin shifts the schedule forward: a fresh
-        # opt_state at count=0 yields lrate * 0.1^(start_step/decay_steps)
-        transition_begin=-cfg.start_step,
     )
     return optax.adam(schedule, b1=0.9, b2=0.999)
 
@@ -184,13 +187,20 @@ def make_train_step(
                 target_depth=target_depth,
                 depth_lambda=cfg.depth_lambda,
             )
-        if "rgb0" in out:  # hierarchical: add the coarse NLL (nerf-pytorch)
-            from cfnerf_tpu.train.loss import kde_nll
-
+        if "rgb0" in out:
+            # hierarchical: add the coarse loss in the SAME family as the
+            # fine loss (nerf-pytorch's img_loss0 semantics).  A KDE NLL on
+            # a deterministic baseline's identical K draws degenerates
+            # (zero bandwidth, zero gradient) — mse mode must use MSE.
             rgbs0 = out["rgb0"][: rgbs.shape[0]]
-            nll0 = kde_nll(rgbs0, batch["target"], cfg.k_samples)
-            loss = loss + nll0
-            metrics["loss_nll0"] = nll0
+            if cfg.loss_mode == "mse":
+                loss0 = img2mse(rgbs0.mean(-1), batch["target"])
+            else:
+                from cfnerf_tpu.train.loss import kde_nll
+
+                loss0 = kde_nll(rgbs0, batch["target"], cfg.k_samples)
+            loss = loss + loss0
+            metrics["loss_nll0"] = loss0
             metrics["loss"] = loss
         mse = img2mse(rgbs.mean(-1), batch["target"])
         metrics["mse"] = mse

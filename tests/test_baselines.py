@@ -103,3 +103,50 @@ def test_factory_dispatch():
     assert isinstance(m, NeRFFlows)
     m, _, _ = build_model(SimpleNamespace(**base, model="nerf_dropout"))
     assert isinstance(m, KSB) and m.kind == "nerf_dropout"
+
+
+def test_hierarchical_mse_mode_trains_coarse():
+    """--model nerf + N_importance: the coarse loss must be MSE (a KDE NLL
+    on identical K draws has zero gradient — the coarse net would never
+    train and importance sampling would stay random)."""
+    from cfnerf_tpu.render.renderer import RenderConfig
+    from cfnerf_tpu.train.step import TrainConfig, make_train_step
+
+    coarse, params_c = _mk("nerf")
+    fine, params_f = _mk("nerf")
+    rc = RenderConfig(n_samples=8, n_importance=4, perturb=True,
+                      use_viewdirs=True)
+    tc = TrainConfig(H=4, W=4, focal=5.0, ndc=False, near=0.5, far=2.0,
+                     k_samples=4, beta1=0.0, loss_mode="mse")
+    step, tx = make_train_step(coarse, rc, tc, model_fine=fine)
+    params = {"coarse": params_c, "fine": params_f}
+    opt_state = tx.init(params)
+    R = 8
+    batch = {
+        "rays_o": jnp.zeros((R, 3)),
+        "rays_d": jnp.concatenate([jnp.full((R, 2), 0.1), -jnp.ones((R, 1))], -1),
+        "target": jnp.full((R, 3), 0.5),
+    }
+    p2, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    moved_coarse = max(
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, c: float(jnp.abs(a - c).max()), params["coarse"], p2["coarse"]
+        ))
+    )
+    assert moved_coarse > 0, "coarse network received no gradient"
+
+
+def test_std_over_k_conventions():
+    """Map convention = np.std (ddof=0) * n/(n-1) exactly as the reference
+    logs/exports (run_nerf_uncertainty_NF.py:1129-1131, :1166-1168); K=1
+    yields zeros, not NaN."""
+    from cfnerf_tpu.ops.metrics import std_over_k
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(5, 3, 8).astype(np.float32)
+    n = x.shape[-1]
+    ref = np.std(x, -1) * n / (n - 1)  # the reference's exact expression
+    np.testing.assert_allclose(std_over_k(x), ref, rtol=1e-6)
+    one = std_over_k(rng.rand(5, 3, 1).astype(np.float32))
+    assert one.shape == (5, 3) and np.all(one == 0.0)

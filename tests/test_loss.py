@@ -94,3 +94,29 @@ def test_total_loss_assembly():
     )
     np.testing.assert_allclose(float(loss2), nll + 0.02 + 0.5 * 1.0, rtol=1e-6)
     assert "depth_loss" in m2
+
+
+def test_resume_lr_schedule_offset():
+    """A resumed run's fresh opt_state must start at the decayed lr, not
+    the initial one (optax silently clamps negative transition_begin — the
+    offset is folded into init_value instead)."""
+    import numpy as np
+
+    from cfnerf_tpu.train.step import TrainConfig, make_optimizer
+
+    cfg = TrainConfig(H=8, W=8, focal=5.0, ndc=False, near=0.5, far=2.0,
+                      k_samples=4, lrate=5e-4, lrate_decay=250,
+                      start_step=200_000)
+    tx = make_optimizer(cfg)
+    # pull the schedule through the optimizer's hyperparams: one update at
+    # count 0 on a unit gradient has magnitude ~lr (adam with eps<<1)
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.ones(())}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones(())}, state, params)
+    lr_eff = abs(float(updates["w"]))
+    want = 5e-4 * 0.1 ** (200_000 / 250_000)
+    np.testing.assert_allclose(lr_eff, want, rtol=0.05)
+    assert lr_eff < 1.5e-4  # nowhere near the un-decayed 5e-4

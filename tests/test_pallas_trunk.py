@@ -118,3 +118,17 @@ def test_row_padding(setup):
     assert ha.shape == (77, HA) and hr.shape == (77, HR)
     np.testing.assert_allclose(np.asarray(ha), np.asarray(ha_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_unsupported_config_raises():
+    """An explicit trunk_impl choice must never silently fall back to XLA
+    (same policy as the flag audit)."""
+    model = NeRFFlows(
+        net_depth=4, net_width=300, input_ch=IN_CH, input_ch_views=V_CH,
+        skips=(2,), h_alpha_size=HA, h_rgb_size=HR, n_flows=2, k_samples=4,
+        use_viewdirs=True, type_flows="triangular", trunk_impl="interpret",
+    )
+    x = jnp.zeros((4, IN_CH + V_CH))
+    params = model.init(jax.random.PRNGKey(0), x, is_test=True)["params"]
+    with pytest.raises(ValueError, match="trunk_impl"):
+        model.apply({"params": params}, x, method=model.encode)
