@@ -125,3 +125,16 @@ def test_scan_trainer_n_inner(tmp_path):
     mfile = os.path.join(basedir, "tiny", "summaries", "t", "metrics.jsonl")
     recs = [json.loads(l) for l in open(mfile)]
     assert recs and all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
+
+
+def test_i_video_spiral_export(tmp_path):
+    """--i_video renders the spiral path and writes rgb/disp videos (PNG
+    frames when no ffmpeg); the reference's path crashes (undefined var)."""
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+    args = _base_args(datadir, basedir, extra=["--i_video", "10",
+                                               "--render_factor", "2"])
+    train(args)
+    rundir = os.path.join(basedir, "tiny", "triangular", "t")
+    outputs = glob.glob(os.path.join(rundir, "t_spiral_*"))
+    assert outputs, os.listdir(rundir)
