@@ -141,9 +141,19 @@ def write_fused(points: Dict[str, np.ndarray], ply_path, vis_path) -> None:
         f.write(b"end_header\n")
         f.write(rec.tobytes())
 
+    # vectorized interleave: counts and index runs laid out into one uint32
+    # buffer (write positions are known up front, unlike the read path)
+    counts = np.array([len(v) for v in points["vis_idx"]], np.int64)
+    total = n + int(counts.sum())
+    words = np.empty(total, "<u4")
+    count_pos = np.concatenate([[0], np.cumsum(counts[:-1] + 1)]).astype(np.int64) if n else np.empty(0, np.int64)
+    words[count_pos] = counts
+    mask = np.ones(total, bool)
+    mask[count_pos] = False
+    if counts.sum():
+        words[mask] = np.concatenate(
+            [np.asarray(v, "<u4") for v in points["vis_idx"] if len(v)]
+        )
     with open(vis_path, "wb") as f:
         f.write(struct.pack("<Q", n))
-        for idxs in points["vis_idx"]:
-            idxs = np.asarray(idxs, "<u4")
-            f.write(struct.pack("<I", len(idxs)))
-            f.write(idxs.tobytes())
+        f.write(words.tobytes())

@@ -91,9 +91,15 @@ class KSampleBaseline(nn.Module):
             raw = self.base(x)  # (B, 4)
             return jnp.broadcast_to(raw[:, None, :], (B, K, 4)), zero
 
+        if not is_test and rng is None and self.kind != "nerf":
+            # same contract as NeRFFlows: a stochastic model trained
+            # without a key would silently freeze its dropout masks /
+            # eps draws into a fixed ensemble
+            raise ValueError(f"training forward of {self.kind} requires an rng key")
+
         if self.kind == "nerf_dropout":
             # fixed keys in test mode -> deterministic MC-dropout eval
-            key = jax.random.PRNGKey(self.test_eps_seed) if (is_test or rng is None) else rng
+            key = jax.random.PRNGKey(self.test_eps_seed) if is_test else rng
             keys = jax.random.split(key, K)
             draws = [self.base(x, rng=keys[k]) for k in range(K)]
             return jnp.stack(draws, axis=1), zero  # (B, K, 4)
@@ -105,7 +111,7 @@ class KSampleBaseline(nn.Module):
         density = out[..., 4:5]
         if eps is not None:
             eps_r = eps
-        elif is_test or rng is None:
+        elif is_test:
             eps_r = jax.random.normal(jax.random.PRNGKey(self.test_eps_seed), (K, 3))
         else:
             eps_r = jax.random.normal(rng, (K, 3))

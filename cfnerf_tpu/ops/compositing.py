@@ -87,7 +87,8 @@ def raw2outputs(
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density) * dists[..., None])  # (R, S, K)
 
     # Exclusive cumulative transmittance over the sample axis (axis=-2),
-    # keeping K as the trailing axis; custom VJP (see composite_weights).
+    # keeping K as the trailing axis; deliberately plain autodiff — see
+    # composite_weights' docstring for why a custom VJP was removed.
     weights = composite_weights(alpha)  # (R, S, K)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-3)  # (R, K, 3)

@@ -417,8 +417,11 @@ def _weight_names(depth):
 # ------------------------------------------------------------------ #
 
 def supported(depth: int, width: int, use_viewdirs: bool) -> bool:
-    """The kernels require lane-aligned widths and the viewdirs topology."""
-    return use_viewdirs and width % LANE == 0 and (width // 2) % LANE == 0 and depth >= 2
+    """The kernels require lane-aligned widths, the viewdirs topology, and
+    depth >= 3 (at depth 2 the skip layer index skip+1 == depth, so no
+    split-matmul slot exists — the weight packing would KeyError)."""
+    return (use_viewdirs and width % LANE == 0 and (width // 2) % LANE == 0
+            and depth >= 3)
 
 
 def _pad_cols(a, n):

@@ -253,7 +253,10 @@ def render_image(
     out = jax.lax.map(body, tiles)
     result = {}
     for k, v in out.items():
-        if k == "loss_entropy":
+        # keep only per-ray outputs: scalars (loss_entropy, and
+        # loss_entropy0 from the hierarchical pass) stack to (n_tiles,)
+        # and would crash the per-ray reshape
+        if v.ndim < 2 or v.shape[1] != tile:
             continue
         v = v.reshape(n_tiles * tile, *v.shape[2:])[:n]
         result[k] = v.reshape(H, W, *v.shape[1:])

@@ -312,95 +312,103 @@ def train(args) -> None:
 
         prefetcher = BatchPrefetcher(_device_batch, start)
 
-    prof_state = 0  # 0 = pending, 1 = tracing, 2 = done
-    i = start
-    while i < n_iters - 1:
-        if profile_dir:
-            if prof_state == 0 and i >= start + args.profile_start:
-                jax.profiler.start_trace(profile_dir)
-                prof_state = 1
-            elif prof_state == 1 and i >= start + args.profile_start + args.profile_steps:
-                jax.profiler.stop_trace()
-                prof_state = 2
-                print(f"profiler trace written to {profile_dir}")
+    def _run_loop(params, opt_state, rng, img_log_idx):
+        prof_state = 0  # 0 = pending, 1 = tracing, 2 = done
+        i = start
+        while i < n_iters - 1:
+            if profile_dir:
+                if prof_state == 0 and i >= start + args.profile_start:
+                    jax.profiler.start_trace(profile_dir)
+                    prof_state = 1
+                elif prof_state == 1 and i >= start + args.profile_start + args.profile_steps:
+                    jax.profiler.stop_trace()
+                    prof_state = 2
+                    print(f"profiler trace written to {profile_dir}")
 
-        t0 = time.time()
-        i_prev = i
-        rng, krng = jax.random.split(rng)
-        if n_inner == 1:
-            i, batch = prefetcher.next()
-            params, opt_state, metrics = train_step(params, opt_state, batch, krng)
-        else:
-            samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
-            stacked = {
-                k: jnp.asarray(np.stack([s[k] for s in samples]))
-                for k in samples[0]
-            }
-            stacked = shard_stacked_batch(mesh, stacked)
-            i += n_inner
-            params, opt_state, metrics = train_loop_fn(params, opt_state, stacked, krng)
-            metrics = {k: v[-1] for k, v in metrics.items()}  # last inner step
+            t0 = time.time()
+            i_prev = i
+            rng, krng = jax.random.split(rng)
+            if n_inner == 1:
+                i, batch = prefetcher.next()
+                params, opt_state, metrics = train_step(params, opt_state, batch, krng)
+            else:
+                samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
+                stacked = {
+                    k: jnp.asarray(np.stack([s[k] for s in samples]))
+                    for k in samples[0]
+                }
+                stacked = shard_stacked_batch(mesh, stacked)
+                i += n_inner
+                params, opt_state, metrics = train_loop_fn(params, opt_state, stacked, krng)
+                metrics = {k: v[-1] for k, v in metrics.items()}  # last inner step
 
-        if _crossed(i_prev, i, args.i_weights):
-            path = ckpt.save_checkpoint(rundir, i, params, opt_state, args.index_ensembles)
-            print("Saved checkpoints at", path)
+            if _crossed(i_prev, i, args.i_weights):
+                path = ckpt.save_checkpoint(rundir, i, params, opt_state, args.index_ensembles)
+                print("Saved checkpoints at", path)
 
-        if _crossed(i_prev, i, args.i_print):
-            metrics = jax.device_get(metrics)
-            scalars = {
-                "train/loss": metrics["loss"],
-                "train/loss_nll": metrics["loss_nll"],
-                "train/logprob": metrics["loss_nll"],
-                "train/loss_entropy": metrics["loss_entropy"],
-                "train/mse": metrics["mse"],
-                "train/psnr": metrics["psnr"],
-                "train/pnsr": metrics["psnr"],  # reference dashboard alias
-                "iter_time": time.time() - t0,
-            }
-            if "depth_loss" in metrics:
-                scalars["train/depth_loss"] = metrics["depth_loss"]
-            logger.scalars(i, scalars)
-            logger.console(i, scalars, args.colmap_depth)
+            if _crossed(i_prev, i, args.i_print):
+                metrics = jax.device_get(metrics)
+                scalars = {
+                    "train/loss": metrics["loss"],
+                    "train/loss_nll": metrics["loss_nll"],
+                    "train/logprob": metrics["loss_nll"],
+                    "train/loss_entropy": metrics["loss_entropy"],
+                    "train/mse": metrics["mse"],
+                    "train/psnr": metrics["psnr"],
+                    "train/pnsr": metrics["psnr"],  # reference dashboard alias
+                    "iter_time": time.time() - t0,
+                }
+                if "depth_loss" in metrics:
+                    scalars["train/depth_loss"] = metrics["depth_loss"]
+                logger.scalars(i, scalars)
+                logger.console(i, scalars, args.colmap_depth)
 
-        if i > start + 1 and _crossed(i_prev, i, args.i_img):
-            for prefix, idx_list in (("train/", scene["i_train"]), ("val/", scene["i_val"])):
-                if len(idx_list) == 0:  # e.g. --llffhold 0 leaves i_val empty
-                    continue
-                view = idx_list[img_log_idx % len(idx_list)]
-                out = render_image(
-                    render_rays_test, params, jnp.asarray(scene["poses"][view]),
-                    H=H, W=W, focal=focal, ndc=tc.ndc,
-                    use_viewdirs=args.use_viewdirs,
-                    near=scene["near"], far=scene["far"], tile=args.chunk,
+            if i > start + 1 and _crossed(i_prev, i, args.i_img):
+                for prefix, idx_list in (("train/", scene["i_train"]), ("val/", scene["i_val"])):
+                    if len(idx_list) == 0:  # e.g. --llffhold 0 leaves i_val empty
+                        continue
+                    view = idx_list[img_log_idx % len(idx_list)]
+                    out = render_image(
+                        render_rays_test, params, jnp.asarray(scene["poses"][view]),
+                        H=H, W=W, focal=focal, ndc=tc.ndc,
+                        use_viewdirs=args.use_viewdirs,
+                        near=scene["near"], far=scene["far"], tile=args.chunk,
+                    )
+                    logger.image_panel(
+                        i, prefix,
+                        gt=scene["images"][view],
+                        rgb_k=np.asarray(out["rgb_map"]),
+                        disp_k=np.asarray(out["disp_map"]),
+                    )
+                img_log_idx += 1
+
+            if i > start and _crossed(i_prev, i, args.i_testset) and len(scene["i_val"]) > 0:
+                # held-out-set export (reference flag surface :707; its render
+                # path crashes — this is the intended behavior)
+                testsavedir = os.path.join(rundir, f"testset_{i:06d}")
+                os.makedirs(testsavedir, exist_ok=True)
+                render_path(
+                    scene["poses"][scene["i_val"]], scene, args, render_rays_test,
+                    params, savedir=testsavedir, render_factor=args.render_factor,
                 )
-                logger.image_panel(
-                    i, prefix,
-                    gt=scene["images"][view],
-                    rgb_k=np.asarray(out["rgb_map"]),
-                    disp_k=np.asarray(out["disp_map"]),
+                print("Saved test set renders to", testsavedir)
+
+            if i > 0 and _crossed(i_prev, i, args.i_video):
+                rgbs, disps, _ = render_path(
+                    scene["render_poses"], scene, args, render_rays_test, params
                 )
-            img_log_idx += 1
+                moviebase = os.path.join(rundir, f"{args.expname}_spiral_{i:06d}_")
+                _save_video(rgbs, moviebase + "rgb.mp4")
+                _save_video(disps / (np.max(disps) + 1e-8), moviebase + "disp.mp4")
 
-        if i > start and _crossed(i_prev, i, args.i_testset) and len(scene["i_val"]) > 0:
-            # held-out-set export (reference flag surface :707; its render
-            # path crashes — this is the intended behavior)
-            testsavedir = os.path.join(rundir, f"testset_{i:06d}")
-            os.makedirs(testsavedir, exist_ok=True)
-            render_path(
-                scene["poses"][scene["i_val"]], scene, args, render_rays_test,
-                params, savedir=testsavedir, render_factor=args.render_factor,
-            )
-            print("Saved test set renders to", testsavedir)
 
-        if i > 0 and _crossed(i_prev, i, args.i_video):
-            rgbs, disps, _ = render_path(
-                scene["render_poses"], scene, args, render_rays_test, params
-            )
-            moviebase = os.path.join(rundir, f"{args.expname}_spiral_{i:06d}_")
-            _save_video(rgbs, moviebase + "rgb.mp4")
-            _save_video(disps / (np.max(disps) + 1e-8), moviebase + "disp.mp4")
-
-    if prefetcher is not None:
-        prefetcher.close()
-    logger.close()
+    try:
+        _run_loop(params, opt_state, rng, img_log_idx)
+    finally:
+        # the worker thread must stop even when a step/render raises —
+        # otherwise it keeps sampling and holding device buffers after the
+        # caller has moved on (tests, ensemble drivers, REPLs)
+        if prefetcher is not None:
+            prefetcher.close()
+        logger.close()
     print("Training complete.")

@@ -150,3 +150,16 @@ def test_std_over_k_conventions():
     np.testing.assert_allclose(std_over_k(x), ref, rtol=1e-6)
     one = std_over_k(rng.rand(5, 3, 1).astype(np.float32))
     assert one.shape == (5, 3) and np.all(one == 0.0)
+
+
+def test_stochastic_baselines_require_rng_in_train():
+    """Same contract as NeRFFlows: training a stochastic baseline without a
+    key must raise, not silently freeze the dropout masks / eps draws."""
+    x = jnp.zeros((3, 90))
+    for kind in ("nerf_dropout", "nerf_wild"):
+        model, params = _mk(kind)
+        with pytest.raises(ValueError, match="rng"):
+            model.apply({"params": params}, x, is_test=False)
+    # the deterministic baseline needs no key
+    model, params = _mk("nerf")
+    model.apply({"params": params}, x, is_test=False)

@@ -35,6 +35,27 @@ def test_orthogonalize_q_orthogonal():
                                atol=1e-4)
 
 
+def test_orthogonalize_q_rank_deficient_stays_orthogonal():
+    """The Bjoerck-iteration recipe left |Q^T Q - I| ~ 0.9 on near-rank-
+    deficient amortized inputs (silently corrupting the general-Sylvester
+    log-det); the Householder-product construction must stay exactly
+    orthogonal for ANY input, including zero rows."""
+    v = jax.random.normal(jax.random.PRNGKey(3), (4, 3))
+    rank1 = v[:, :, None] * v[:, None, :]  # rank-1 matrices
+    zero_row = rank1.at[:, 1, :].set(0.0)
+    for m in (rank1, zero_row, jnp.zeros((4, 3, 3))):
+        q = orthogonalize_q(m)
+        eye = jnp.einsum("bij,bkj->bik", q, q)
+        np.testing.assert_allclose(
+            np.asarray(eye), np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-5
+        )
+
+
+def test_householder_q_zero_vector_is_identity():
+    q = householder_q(jnp.zeros((2, 3)))
+    np.testing.assert_allclose(np.asarray(q), np.broadcast_to(np.eye(3), (2, 3, 3)))
+
+
 @pytest.mark.parametrize("z_size", [1, 3])
 def test_general_sylvester_logdet_vs_autodiff(z_size):
     rng = np.random.RandomState(2)

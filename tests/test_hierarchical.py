@@ -81,3 +81,39 @@ def test_hierarchical_train_step():
         after = jax.tree_util.tree_leaves(p2[side])
         diffs = [float(np.abs(np.asarray(a - b)).max()) for a, b in zip(after, before)]
         assert max(diffs) > 0, f"{side} params unchanged"
+
+
+def test_render_image_hierarchical():
+    """Full-image eval render with N_importance > 0: the coarse pass's
+    scalar loss_entropy0 must not crash the per-ray reshape (it did —
+    every i_img/i_testset/render_only cadence died on hierarchical runs)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows
+    from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays, render_image
+
+    model = NeRFFlows(
+        net_depth=2, net_width=16, input_ch=63, input_ch_views=27, skips=(1,),
+        h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+        use_viewdirs=True, type_flows="triangular",
+    )
+    rc = RenderConfig(n_samples=8, n_importance=4, perturb=False,
+                      use_viewdirs=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 90)),
+                        is_test=True)["params"]
+    params = {"coarse": params, "fine": params}
+
+    def model_apply(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    rr = make_render_rays(model_apply, rc)
+    c2w = jnp.eye(4)[:3]
+    out = render_image(rr, params, c2w, H=6, W=6, focal=6.0, ndc=False,
+                       use_viewdirs=True, near=0.5, far=2.0, tile=18)
+    assert out["rgb_map"].shape == (6, 6, 3, 4)
+    assert out["rgb0"].shape == (6, 6, 3, 4)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()

@@ -46,6 +46,8 @@ def test_supported():
     assert supported(8, 512, True)
     assert not supported(8, 512, False)
     assert not supported(8, 300, True)
+    # depth=2 has no skip+1 slot (skip+1 == depth) — packing would KeyError
+    assert not supported(2, 256, True)
 
 
 def test_forward_matches_flax(setup):
