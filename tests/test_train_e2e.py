@@ -138,3 +138,20 @@ def test_i_video_spiral_export(tmp_path):
     rundir = os.path.join(basedir, "tiny", "triangular", "t")
     outputs = glob.glob(os.path.join(rundir, "t_spiral_*"))
     assert outputs, os.listdir(rundir)
+
+
+def test_profiler_trace_export(tmp_path):
+    """--profile_dir writes a jax.profiler trace for the configured step
+    window (the tracing state machine lives in the refactored loop closure)."""
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+    profdir = str(tmp_path / "prof")
+    args = _base_args(datadir, basedir, extra=[
+        "--profile_dir", profdir, "--profile_start", "2", "--profile_steps", "3",
+    ])
+    train(args)
+    import glob as _glob
+    traces = _glob.glob(os.path.join(profdir, "**", "*.trace.json*"),
+                        recursive=True) + _glob.glob(
+        os.path.join(profdir, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no trace written under {profdir}"
