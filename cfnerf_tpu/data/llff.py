@@ -18,11 +18,10 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import List, Tuple
 
 import numpy as np
 
-from cfnerf_tpu.data.colmap import read_images_binary, read_points3d_binary, qvec2rotmat
+from cfnerf_tpu.data.colmap import read_images_binary, read_points3d_binary
 from cfnerf_tpu.data.poses import (
     _unit,
     average_pose,

@@ -16,7 +16,7 @@ multiple of the mesh data-axis size (checked in RayBatcher).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -36,7 +36,6 @@ cfnerf_tpu.flows.sylvester):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ The same flag names and semantics are accepted so reference launch scripts
 from __future__ import annotations
 
 import argparse
-import shlex
 import sys
 from typing import List, Optional, Sequence
 
