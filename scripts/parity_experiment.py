@@ -249,6 +249,10 @@ def main():
     ap.add_argument("--lr", type=float, default=None,
                     help="override the shared lr (default: module LR)")
     ap.add_argument("--ref_seed", type=int, default=0)
+    ap.add_argument("--scene", choices=["spheres", "blob"], default="spheres",
+                    help="spheres: bistable surface scene (trajectory "
+                         "parity); blob: robustly-learnable volumetric "
+                         "scene (learning parity)")
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--log_every", type=int, default=25)
     ap.add_argument("--out", type=str, default="PARITY_r02.json")
@@ -260,11 +264,22 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    global LR
+    global LR, H, W, FOCAL, NEAR, FAR
     if args.lr is not None:
         LR = args.lr
 
-    poses, images, i_train, i_val = make_scene()
+    if args.scene == "blob":
+        from synthetic_scenes import blob_scene
+
+        global N_TRAIN, N_VAL
+        poses, images, geom = blob_scene()
+        H = W = geom["H"]
+        FOCAL, NEAR, FAR = geom["focal"], geom["near"], geom["far"]
+        n = len(poses)
+        N_TRAIN, N_VAL = n - 1, 1
+        i_train, i_val = np.arange(n - 1), np.arange(n - 1, n)
+    else:
+        poses, images, i_train, i_val = make_scene()
     batches = precompute_batches(poses, images, i_train, args.steps)
 
     ours_traj, ours_psnr, ours_nll, ours_ause, t_ours = [], None, None, None, 0
@@ -282,11 +297,12 @@ def main():
     t_ref = time.time() - t0
 
     result = {
-        "experiment": "synthetic two-sphere scene, matched ray batches, CPU",
+        "experiment": f"synthetic {args.scene} scene, matched ray batches, CPU",
         "config": dict(H=H, W=W, n_train=N_TRAIN, n_val=N_VAL, depth=DEPTH,
                        width=WIDTH, n_samples=N_SAMPLES, k_samples=K,
                        n_flows=N_FLOWS, h_size=H_SIZE, lr=LR, beta1=BETA1,
-                       batch=BATCH, steps=args.steps, ref_seed=args.ref_seed),
+                       batch=BATCH, steps=args.steps, ref_seed=args.ref_seed,
+                       scene=args.scene),
         "ours": {"val_psnr": ours_psnr, "val_nll": ours_nll,
                  "val_ause": ours_ause, "trajectory": ours_traj,
                  "wall_s": round(t_ours, 1)},

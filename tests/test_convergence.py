@@ -7,6 +7,9 @@ scripts/parity_experiment.py for the recorded comparison against the live
 torch reference — that scene sits near a learn-vs-collapse bifurcation at
 short schedules and is unsuitable for a pass/fail gate.)
 """
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -15,44 +18,18 @@ import jax.numpy as jnp
 
 from cfnerf_tpu.ops.rays import get_rays_np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from synthetic_scenes import blob_scene  # noqa: E402
+
 H = W = 24
 FOCAL = 24.0
 NEAR, FAR = 2.0, 7.0
 
 
-def _gt_render(ro, rd):
-    """Volumetric soft blob, white background (numpy quadrature)."""
-    d = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
-    t = np.linspace(NEAR, FAR, 192)
-    pts = ro[:, None, :] + d[:, None, :] * t[None, :, None]
-    sigma = 4.0 * np.exp(-((pts ** 2).sum(-1)) / 0.8)
-    color = 0.5 + 0.5 * np.stack(
-        [np.sin(pts[..., 0] * 2), np.cos(pts[..., 1] * 2), np.sin(pts[..., 2] * 2)], -1
-    )
-    dt = t[1] - t[0]
-    alpha = 1 - np.exp(-sigma * dt)
-    T = np.cumprod(
-        np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], 1), 1
-    )[:, :-1]
-    wgt = alpha * T
-    rgb = (wgt[..., None] * color).sum(1) + (1 - wgt.sum(1))[..., None]
-    return rgb.astype(np.float32)
-
-
 def make_blob_scene(n_views=6):
-    poses, images = [], []
-    for i in range(n_views):
-        th = 2 * np.pi * i / n_views
-        origin = np.array([4.0 * np.sin(th), 0.5, 4.0 * np.cos(th)])
-        bwd = origin / np.linalg.norm(origin)
-        x = np.cross([0, 1, 0], bwd)
-        x /= np.linalg.norm(x)
-        y = np.cross(bwd, x)
-        c2w = np.stack([x, y, bwd, origin], 1).astype(np.float32)
-        ro, rd = get_rays_np(H, W, FOCAL, c2w)
-        poses.append(c2w)
-        images.append(_gt_render(ro.reshape(-1, 3), rd.reshape(-1, 3)).reshape(H, W, 3))
-    return np.stack(poses), np.stack(images)
+    poses, images, geom = blob_scene(n_views)
+    assert (geom["H"], geom["focal"], geom["near"], geom["far"]) == (H, FOCAL, NEAR, FAR)
+    return poses, images
 
 
 @pytest.mark.slow
