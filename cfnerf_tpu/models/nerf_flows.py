@@ -186,17 +186,19 @@ class NeRFFlows(nn.Module):
         input_pts = x[..., : self.input_ch].astype(self.compute_dtype)
         input_views = x[..., self.input_ch :].astype(self.compute_dtype)
 
+        # concats are passed as TUPLES to TorchDense, which computes the
+        # split matmul on the same kernel (no concat materialization, no
+        # MXU padding of the odd 575/539 widths) — math identical
         h = input_pts
         for i, layer in enumerate(self.pts_linears):
             h = nn.relu(layer(h))
             if i in self.skips:
-                h = jnp.concatenate([input_pts, h], -1)
+                h = (input_pts, h)
 
         if self.use_viewdirs:
             h_alpha = self.h_alpha_linear(h)
             feature = self.feature_linear(h)
-            hv = jnp.concatenate([feature, input_views], -1)
-            hv = nn.relu(self.views_linear(hv))
+            hv = nn.relu(self.views_linear((feature, input_views)))
             h_rgb = self.h_rgb_linear(hv)
         else:
             h_alpha = self.h_alpha_linear(h)
