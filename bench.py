@@ -86,7 +86,7 @@ def peak_tflops() -> float:
     return 197.0  # assume v5e-class if unknown
 
 
-def _build(compute_dtype="bfloat16", remat=True):
+def _build(compute_dtype="bfloat16", remat=True, fused=None):
     import jax
     import jax.numpy as jnp
 
@@ -94,14 +94,19 @@ def _build(compute_dtype="bfloat16", remat=True):
     from cfnerf_tpu.render.renderer import RenderConfig
     from cfnerf_tpu.train.step import TrainConfig
 
+    on_tpu = jax.default_backend() == "tpu"
+    if fused is None:
+        fused = "on" if on_tpu else "off"
     model = NeRFFlows(
         net_depth=D, net_width=W, input_ch=INPUT_CH, input_ch_views=INPUT_CH_VIEWS,
         skips=(D // 2,), h_alpha_size=H_SIZE, h_rgb_size=H_SIZE, n_flows=N_FLOWS,
         k_samples=K_SAMPLES, use_viewdirs=True, type_flows="triangular",
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
-        flow_impl="pallas" if jax.default_backend() == "tpu" else "xla",
+        flow_impl="pallas" if on_tpu else "xla",
     )
-    rc = RenderConfig(n_samples=N_SAMPLES, perturb=True, use_viewdirs=True)
+    rc = RenderConfig(
+        n_samples=N_SAMPLES, perturb=True, use_viewdirs=True, fused=fused
+    )
     tc = TrainConfig(
         H=512, W=512, focal=500.0, ndc=False, near=0.5, far=4.0,
         k_samples=K_SAMPLES, beta1=0.01, remat=remat,
@@ -160,6 +165,7 @@ def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10) -> fl
     import jax
     import jax.numpy as jnp
 
+    from cfnerf_tpu.models.nerf_flows import make_fused_apply
     from cfnerf_tpu.render.renderer import make_render_rays
 
     model, rc, tc, params = _build()
@@ -167,7 +173,9 @@ def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10) -> fl
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)
 
-    rr = make_render_rays(model_apply, rc)
+    rr = make_render_rays(
+        model_apply, rc, None, make_fused_apply(model, rc.fused)
+    )
     rng = np.random.RandomState(0)
     ro, rd = _ray_batch(batch_size, rng)
     vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)

@@ -70,7 +70,12 @@ def eval_ensemble(args, n_members: int) -> dict:
             def fine_apply(p, x, *, is_test, rng, _model=model_fine):
                 return _model.apply({"params": p}, x, is_test=is_test, rng=rng)
 
-        rr = make_render_rays(model_apply, render_config, fine_apply)
+        from cfnerf_tpu.models.nerf_flows import make_fused_apply
+
+        rr = make_render_rays(
+            model_apply, render_config, fine_apply,
+            make_fused_apply(model, render_config.fused),
+        )
         renders = {}
         for view in scene["i_val"]:
             out = render_image(

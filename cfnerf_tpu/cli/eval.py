@@ -70,7 +70,12 @@ def evaluate(args) -> Dict[str, float]:
         def fine_apply(p, x, *, is_test, rng):
             return model_fine.apply({"params": p}, x, is_test=is_test, rng=rng)
 
-    render_rays_fn = make_render_rays(model_apply, render_config, fine_apply)
+    from cfnerf_tpu.models.nerf_flows import make_fused_apply
+
+    render_rays_fn = make_render_rays(
+        model_apply, render_config, fine_apply,
+        make_fused_apply(model, render_config.fused),
+    )
 
     rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
     outdir = os.path.join(rundir, f"eval_{start:06d}")

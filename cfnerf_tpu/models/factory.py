@@ -38,6 +38,13 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
         # the pltpu kernel would crash on GPU/CPU backends — XLA elsewhere
         flow_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    fused_render = getattr(args, "fused_render", "auto")
+    if fused_render == "auto":
+        # whole flow+composite as one Pallas kernel (render_core.py):
+        # TPU-only, triangular flows only (make_fused_apply gates the
+        # family; the renderer gates shapes/noise at trace time)
+        fused_render = "on" if jax.default_backend() == "tpu" else "off"
+
     # 'NeRF_Flows' is the spelling the reference launch scripts pass
     model_name = (getattr(args, "model", None) or "nerf_flows").lower()
 
@@ -94,6 +101,7 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
         multires=args.multires,
         multires_views=args.multires_views,
         i_embed=args.i_embed,
+        fused=fused_render,
     )
     return model, model_fine, render_config
 

@@ -64,6 +64,30 @@ Z_ALPHA = 1  # density latent dim
 Z_RGB = 3    # rgb latent dim (z_size forced to 3 in the reference, models.py:31)
 
 
+def make_fused_apply(model, mode: str):
+    """Build the fused flow+composite apply for the renderer, or None.
+
+    mode: 'off' | 'on' | 'interpret' (the factory resolves 'auto' to one
+    of these).  Returns apply(params, x, z_pts, d_pts, s_per_ray,
+    is_test=..., rng=...) -> (rgb_map, depth, acc, loss_entropy), or None
+    when the model cannot take the fused path (non-NeRFFlows baselines,
+    non-triangular flow families)."""
+    if mode == "off":
+        return None
+    if not isinstance(model, NeRFFlows) or model.type_flows != "triangular":
+        return None
+    interpret = mode == "interpret"
+
+    def apply_fused(params, x, z_pts, d_pts, s_per_ray, *, is_test, rng):
+        return model.apply(
+            {"params": params}, x, z_pts, d_pts, s_per_ray,
+            is_test=is_test, rng=rng, interpret=interpret,
+            method=NeRFFlows.forward_composited,
+        )
+
+    return apply_fused
+
+
 class NeRFFlows(nn.Module):
     net_depth: int = 8
     net_width: int = 256
@@ -340,6 +364,91 @@ class NeRFFlows(nn.Module):
             base_a.mean() - ldj_alpha.mean() + base_r.mean() - ldj_rgb.mean()
         )
         return raw, loss_entropy
+
+    def forward_composited(
+        self,
+        x: jnp.ndarray,
+        z_pts: jnp.ndarray,
+        d_pts: jnp.ndarray,
+        s_per_ray: int,
+        *,
+        is_test: bool = False,
+        rng: Optional[jax.Array] = None,
+        eps: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        interpret: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Fused render forward: flows + K-sample composite in ONE Pallas
+        kernel (ops/pallas/render_core.py), so the (B, K, 4) raw tensor
+        never exists in HBM.  Math identical to __call__ followed by
+        ops.compositing.raw2outputs (parity pinned by
+        tests/test_render_core.py); triangular flows only.
+
+        Args:
+          x: (B, input_ch [+ views]) embedded inputs, B = R * s_per_ray,
+             sample index minor.
+          z_pts: (B,) per-point sample depth (z_vals flattened).
+          d_pts: (B,) per-point interval * |rays_d| (LAST_DIST applied).
+
+        Returns (rgb_map (R, 3, K), depth (R, K), acc (R, K),
+                 loss_entropy scalar — 0 in test mode)."""
+        if self.type_flows != "triangular":
+            raise ValueError(
+                "forward_composited requires type_flows='triangular' "
+                f"(got {self.type_flows!r})"
+            )
+        from cfnerf_tpu.ops.pallas.render_core import fused_flow_composite
+
+        h_alpha, h_rgb = self.encode(x)
+        B = h_alpha.shape[0]
+        K = self.k_samples
+
+        if eps is not None:
+            eps_a, eps_r = eps
+            if is_test:
+                eps_a = eps_a.at[-1].set(0.0)
+                eps_r = eps_r.at[-1].set(0.0)
+        elif is_test:
+            eps_a, eps_r = self._test_eps()
+        else:
+            if rng is None:
+                raise ValueError("training forward requires an rng key")
+            ka, kr = jax.random.split(rng)
+            eps_a = jax.random.normal(ka, (K, Z_ALPHA))
+            eps_r = jax.random.normal(kr, (K, Z_RGB))
+
+        # Shared-K base draws, NOT expanded over points (models.py:234,246
+        # semantics; the kernel broadcasts in VMEM).
+        z0_a = eps_a * self.alpha_std + self.alpha_mean  # (K, 1)
+        z0_r = eps_r * self.rgb_std + self.rgb_mean      # (K, 3)
+
+        r1_a, r2_a, b_a = self.flows_alpha(h_alpha)
+        r1_r, r2_r, b_r = self.flows_rgb(h_rgb)
+
+        rgb_map, depth, acc, ldj_ray = fused_flow_composite(
+            z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
+            z_pts, d_pts, s_per_ray, not is_test, interpret,
+        )
+
+        if is_test:
+            return rgb_map, depth, acc, jnp.zeros((), jnp.float32)
+
+        # Entropy (models.py:265-286): same normalizations as __call__ —
+        # base terms elementwise-mean over (K, Z); ldj terms mean over
+        # (B, K) (the kernel returns per-ray sums over K and s).
+        base_a = -0.5 * (
+            2.0 * jnp.log(self.alpha_std)
+            + (z0_a - self.alpha_mean) ** 2 / self.alpha_std ** 2
+        )
+        base_r = -0.5 * (
+            2.0 * jnp.log(self.rgb_std)
+            + (z0_r - self.rgb_mean) ** 2 / self.rgb_std ** 2
+        )
+        denom = B * K
+        loss_entropy = (
+            base_a.mean() - ldj_ray[0].sum() / denom
+            + base_r.mean() - ldj_ray[1].sum() / denom
+        )
+        return rgb_map, depth, acc, loss_entropy
 
     # ---------------- latent-space diagnostics (models.py:69-163) ------ #
 

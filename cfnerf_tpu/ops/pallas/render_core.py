@@ -1,0 +1,639 @@
+"""Fused flow-stack + K-sample alpha-composite render core (Pallas TPU).
+
+One kernel computes, per 3D point batch, BOTH conditional Triangular-
+Sylvester flow stacks (density z=1 and rgb z=3; math identical to
+ops/pallas/flow_stack.py / flows/sylvester.py, parity target
+/root/reference/model/flow/flows.py:189-268 + model/models.py:387-416),
+the final-activation log-det corrections (models.py:261-278), AND the
+volume composite over the sample axis (parity target raw2outputs,
+run_nerf_uncertainty_NF.py:411-454) — so the (B, K, 4) `raw` tensor
+(134 MB/step at the flagship config) never exists in HBM, and neither do
+the composite's intermediates (sigmoid(rgb) 100 MB, alpha, transmittance,
+weights).  Measured context: the XLA composite alone is 2.4 ms fwd /
+4.4 ms fwd+bwd at R=2048/S=128/K=32 — ~14x off HBM speed-of-light — and a
+standalone composite kernel cannot win because the natural (R, S, K*4)
+layout wastes 3/4 of the vector lanes (scripts/profile_composite*.py).
+
+Why THIS fusion wins on layout: the flow kernel's operand layout is
+(rows, B) with B = R*S points on the LANES, s minor — so one 128-lane
+register group is exactly one ray's S=128 samples.  In that layout:
+  * density math (softplus, exp, the transmittance scan) runs on a
+    (K, B_TILE) block at FULL lane utilization — no c3 masks, no 4-lane
+    broadcast tricks;
+  * the per-ray transmittance scan is a log-depth Hillis-Steele pass of
+    static lane rolls, ray boundaries enforced by (lane % S) masks;
+  * per-(ray, k) reductions (rgb/acc/depth) are one (K, B_TILE) @
+    (B_TILE, RT) segment matmul on the otherwise-idle MXU;
+  * per-step output placement at a dynamic lane offset — Mosaic has no
+    dynamic lane stores — is a one-hot placement matmul accumulated into
+    a revisited output block (the standard k-loop accumulation pattern).
+
+Backward is ONE kernel: it recomputes both flow stacks and the composite
+in VMEM, pushes cotangents back through the scan with the division-free
+reverse AFFINE scan
+    C_j = g_T[j+1] + x[j+1] * C_{j+1},   dL/dx_j = T_j * C_j
+(log-depth (M, Y) pair composition; no 1/(1-alpha+eps) division — the
+closed form that NaN'd at saturated alpha, see ops/compositing.py), then
+runs the flow-chain reverse sweep of flow_stack.py.  z0 is the SHARED
+(K, Z) base draw (models.py:234,246) — it enters broadcast over points
+and its gradient is accumulated across the whole grid into one block.
+
+z_vals and the dist factors carry no parameters upstream (stratified
+jitter + ray geometry), so their cotangents are zero by construction.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cfnerf_tpu.ops.compositing import TRANS_EPS
+
+LOGDET_EPS = 1e-8  # reference flows.py:255
+B_TILE = 512
+Z_A, Z_R = 1, 3
+
+
+def supported(B: int, s_per_ray: int, k_samples: int) -> bool:
+    """Shapes the kernel handles; callers fall back to the XLA path
+    otherwise.  Requires whole 128-lane output blocks (R % 128) and whole
+    rays per tile."""
+    S = s_per_ray
+    if S < 2 or B_TILE % S or B % B_TILE:
+        return False
+    rt = B_TILE // S
+    if 128 % rt:
+        return False
+    R = B // S
+    return R % 128 == 0 and k_samples >= 1
+
+
+def _scan_steps(S: int):
+    d, out = 1, []
+    while d < S:
+        out.append(d)
+        d *= 2
+    return out
+
+
+def _perm(i: int, Z: int, flip: bool) -> int:
+    return (Z - 1 - i) if flip else i
+
+
+def _r_row(i: int, j: int, k: int, Z: int, F: int) -> int:
+    return (i * Z + j) * F + k
+
+
+def _b_row(i: int, k: int, F: int) -> int:
+    return i * F + k
+
+
+# --------------------------------------------------------------------- #
+# flow chain (math identical to flow_stack._fwd_tile / _bwd_kernel, with
+# z0 broadcast from the shared (Z*K, 1) draw instead of per-point rows)
+# --------------------------------------------------------------------- #
+
+
+def _flow_fwd(z0_ref, r1_ref, r2_ref, b_ref, *, Z, F, K, n_lanes,
+              compute_log_det, save_intermediates=False):
+    zs = [
+        jnp.broadcast_to(z0_ref[i * K:(i + 1) * K, :], (K, n_lanes))
+        for i in range(Z)
+    ]
+    ldj = None
+    trace = []
+
+    for k in range(F):
+        flip = k % 2 == 1
+
+        def rc(ref, i, j):
+            r = _r_row(i, j, k, Z, F)
+            return ref[r:r + 1, :]
+
+        zp = zs[::-1] if flip else zs
+        ts = []
+        for i in range(Z):
+            br = _b_row(i, k, F)
+            pre = b_ref[br:br + 1, :]
+            for j in range(i, Z):
+                pre = pre + rc(r2_ref, i, j) * zp[j]
+            ts.append(jnp.tanh(pre))
+
+        if save_intermediates:
+            trace.append((list(zs), ts))
+
+        zs_new = list(zs)
+        for i in range(Z):
+            upd = rc(r1_ref, i, i) * ts[i]
+            for j in range(i + 1, Z):
+                upd = upd + rc(r1_ref, i, j) * ts[j]
+            out_idx = _perm(i, Z, flip)
+            zs_new[out_idx] = zs[out_idx] + upd
+        zs = zs_new
+
+        if compute_log_det:
+            for i in range(Z):
+                der = 1.0 - ts[i] ** 2
+                dj = der * (rc(r1_ref, i, i) * rc(r2_ref, i, i)) + 1.0
+                term = jnp.log(jnp.abs(dj) + LOGDET_EPS)
+                ldj = term if ldj is None else ldj + term
+
+    return zs, ldj, trace
+
+
+def _flow_bwd(trace, g_z, g_ldj, r1_ref, r2_ref,
+              g_r1_ref, g_r2_ref, g_b_ref, *, Z, F, compute_log_det):
+    """Reverse sweep of the flow chain; writes parameter-gradient rows,
+    returns g wrt z0 components (list of (K, n_lanes)).  Mirrors
+    flow_stack._bwd_kernel."""
+    g_z = list(g_z)
+    zeros = jnp.zeros_like(g_z[0])
+
+    for k in reversed(range(F)):
+        flip = k % 2 == 1
+        zs_k, ts = trace[k]
+        zp = zs_k[::-1] if flip else zs_k
+
+        def rc(ref, i, j):
+            r = _r_row(i, j, k, Z, F)
+            return ref[r:r + 1, :]
+
+        def wr_r(ref, i, j, val_kb):
+            r = _r_row(i, j, k, Z, F)
+            ref[r:r + 1, :] = jnp.sum(val_kb, axis=0, keepdims=True)
+
+        g_u = [g_z[_perm(i, Z, flip)] for i in range(Z)]
+        g_t = [zeros for _ in range(Z)]
+        gr1 = {}
+        gr2 = {}
+
+        if compute_log_det and g_ldj is not None:
+            for i in range(Z):
+                r1ii = rc(r1_ref, i, i)
+                r2ii = rc(r2_ref, i, i)
+                der = 1.0 - ts[i] ** 2
+                dj = der * (r1ii * r2ii) + 1.0
+                c = g_ldj * jnp.sign(dj) / (jnp.abs(dj) + LOGDET_EPS)
+                g_t[i] = g_t[i] + c * (-2.0 * ts[i]) * (r1ii * r2ii)
+                gr1[(i, i)] = c * der * r2ii
+                gr2[(i, i)] = c * der * r1ii
+
+        for i in range(Z):
+            for j in range(i, Z):
+                gr1[(i, j)] = gr1.get((i, j), 0.0) + g_u[i] * ts[j]
+                g_t[j] = g_t[j] + rc(r1_ref, i, j) * g_u[i]
+
+        g_zp = [zeros for _ in range(Z)]
+        for i in range(Z):
+            g_pre = g_t[i] * (1.0 - ts[i] ** 2)
+            br = _b_row(i, k, F)
+            g_b_ref[br:br + 1, :] = jnp.sum(g_pre, axis=0, keepdims=True)
+            for j in range(i, Z):
+                gr2[(i, j)] = gr2.get((i, j), 0.0) + g_pre * zp[j]
+                g_zp[j] = g_zp[j] + rc(r2_ref, i, j) * g_pre
+
+        for i in range(Z):
+            for j in range(Z):
+                if j >= i:
+                    wr_r(g_r1_ref, i, j, gr1.get((i, j), zeros))
+                    wr_r(g_r2_ref, i, j, gr2.get((i, j), zeros))
+                else:
+                    zrow = jnp.zeros((1, zeros.shape[1]), zeros.dtype)
+                    r = _r_row(i, j, k, Z, F)
+                    g_r1_ref[r:r + 1, :] = zrow
+                    g_r2_ref[r:r + 1, :] = zrow
+
+        for j in range(Z):
+            tgt = _perm(j, Z, flip)
+            g_z[tgt] = g_z[tgt] + g_zp[j]
+
+    return g_z
+
+
+# --------------------------------------------------------------------- #
+# composite pieces (shared fwd math for the fwd and bwd kernels)
+# --------------------------------------------------------------------- #
+
+
+def _composite_fwd(den, zs_r, zrow, drow, *, K, S):
+    """den: (K, B_TILE) pre-softplus density; zs_r: 3 x (K, B_TILE)
+    pre-sigmoid rgb; zrow/drow: (1, B_TILE).  Returns per-point composite
+    quantities (everything needed by both output reduction and bwd)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, B_TILE), 1)
+    lane_pos = lane % S
+
+    d = jnp.broadcast_to(drow, (K, B_TILE))
+    e = jnp.exp(-jax.nn.softplus(den) * d)          # = 1 - alpha (:424)
+    x = e + TRANS_EPS                                # (:443)
+
+    P = x
+    for step in _scan_steps(S):
+        P = P * jnp.where(lane_pos < step, 1.0,
+                          jnp.roll(P, step, axis=1))
+    T = jnp.where(lane_pos < 1, 1.0, jnp.roll(P, 1, axis=1))  # exclusive
+
+    w = (1.0 - e) * T                                # alpha * transmittance
+    vs = [jax.nn.sigmoid(c) for c in zs_r]
+    return lane_pos, d, e, x, T, w, vs
+
+
+def _seg_matrix(RT, S):
+    """(B_TILE, RT) f32: seg[l, r] = 1 iff lane l belongs to ray r."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, RT), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, RT), 1)
+    return (li // S == ri).astype(jnp.float32)
+
+
+def _placement(i_mod, RT):
+    """(RT, 128) f32 one-hot: row r -> lane i_mod*RT + r.  Placing per-step
+    (., RT) results into the 128-lane output block via an MXU matmul —
+    Mosaic has no dynamic-lane stores."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (RT, 128), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (RT, 128), 1)
+    return (li == i_mod * RT + ri).astype(jnp.float32)
+
+
+def _gather_cols(ref_block, i_mod, RT, S):
+    """(rows, 128) g-input block -> (rows, B_TILE) per-point expansion of
+    this step's RT ray columns: one (128, B_TILE) iota matrix multiply."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (128, B_TILE), 0)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (128, B_TILE), 1)
+    sel = (li == i_mod * RT + bi // S).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ref_block, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# --------------------------------------------------------------------- #
+# kernels
+# --------------------------------------------------------------------- #
+
+
+def _fwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
+                z0r_ref, r1r_ref, r2r_ref, br_ref,
+                zrow_ref, drow_ref,
+                rgb_ref, depth_ref, acc_ref, ldj_ref, *,
+                K, S, F, compute_log_det):
+    RT = B_TILE // S
+    TPB = 128 // RT
+    i = pl.program_id(0)
+    i_mod = jax.lax.rem(i, TPB)
+
+    zs_a, ldj_a, _ = _flow_fwd(
+        z0a_ref, r1a_ref, r2a_ref, ba_ref, Z=Z_A, F=F, K=K, n_lanes=B_TILE,
+        compute_log_det=compute_log_det,
+    )
+    zs_r, ldj_r, _ = _flow_fwd(
+        z0r_ref, r1r_ref, r2r_ref, br_ref, Z=Z_R, F=F, K=K, n_lanes=B_TILE,
+        compute_log_det=compute_log_det,
+    )
+
+    den = zs_a[0]
+    _, d, e, x, T, w, vs = _composite_fwd(
+        den, zs_r, zrow_ref[0:1, :], drow_ref[0:1, :], K=K, S=S
+    )
+
+    seg = _seg_matrix(RT, S)
+    place = _placement(i_mod, RT)
+    seg_place = _dot(seg, place)  # (B_TILE, 128): reduce + place in one go
+
+    z = jnp.broadcast_to(zrow_ref[0:1, :], (K, B_TILE))
+
+    @pl.when(i_mod == 0)
+    def _():
+        rgb_ref[:, :] = jnp.zeros_like(rgb_ref)
+        depth_ref[:, :] = jnp.zeros_like(depth_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        ldj_ref[:, :] = jnp.zeros_like(ldj_ref)
+
+    for c in range(3):
+        rgb_ref[c * K:(c + 1) * K, :] += _dot(w * vs[c], seg_place)
+    depth_ref[:, :] += _dot(w * z, seg_place)
+    acc_ref[:, :] += _dot(w, seg_place)
+
+    if compute_log_det:
+        # fold the final-activation corrections (models.py:261-278) and
+        # reduce over (K, s) to per-ray sums
+        corr_a = ldj_a + (den - jax.nn.softplus(den))
+        corr_r = ldj_r
+        for c in range(3):
+            corr_r = corr_r + (zs_r[c] - 2.0 * jax.nn.softplus(zs_r[c]))
+        la = jnp.sum(corr_a, axis=0, keepdims=True)  # (1, B_TILE)
+        lr = jnp.sum(corr_r, axis=0, keepdims=True)
+        ldj_ref[0:1, :] += _dot(la, seg_place)
+        ldj_ref[1:2, :] += _dot(lr, seg_place)
+
+
+def _bwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
+                z0r_ref, r1r_ref, r2r_ref, br_ref,
+                zrow_ref, drow_ref,
+                g_rgb_ref, g_depth_ref, g_acc_ref, g_ldj_ref,
+                g_z0a_ref, g_r1a_ref, g_r2a_ref, g_ba_ref,
+                g_z0r_ref, g_r1r_ref, g_r2r_ref, g_br_ref, *,
+                K, S, F, compute_log_det):
+    RT = B_TILE // S
+    TPB = 128 // RT
+    i = pl.program_id(0)
+    i_mod = jax.lax.rem(i, TPB)
+
+    # ---- recompute forward (traces stay in VMEM) ----
+    zs_a, _, trace_a = _flow_fwd(
+        z0a_ref, r1a_ref, r2a_ref, ba_ref, Z=Z_A, F=F, K=K, n_lanes=B_TILE,
+        compute_log_det=False, save_intermediates=True,
+    )
+    zs_r, _, trace_r = _flow_fwd(
+        z0r_ref, r1r_ref, r2r_ref, br_ref, Z=Z_R, F=F, K=K, n_lanes=B_TILE,
+        compute_log_det=False, save_intermediates=True,
+    )
+    den = zs_a[0]
+    lane_pos, d, e, x, T, w, vs = _composite_fwd(
+        den, zs_r, zrow_ref[0:1, :], drow_ref[0:1, :], K=K, S=S
+    )
+    z = jnp.broadcast_to(zrow_ref[0:1, :], (K, B_TILE))
+
+    # ---- expand this tile's output cotangents to per-point form ----
+    G_rgb = [
+        _gather_cols(g_rgb_ref[c * K:(c + 1) * K, :], i_mod, RT, S)
+        for c in range(3)
+    ]
+    G_depth = _gather_cols(g_depth_ref[:, :], i_mod, RT, S)
+    G_acc = _gather_cols(g_acc_ref[:, :], i_mod, RT, S)
+
+    # ---- composite backward ----
+    g_w = G_acc + G_depth * z
+    g_zr = []
+    for c in range(3):
+        g_w = g_w + G_rgb[c] * vs[c]
+        g_zr.append(G_rgb[c] * w * vs[c] * (1.0 - vs[c]))
+
+    g_T = g_w * (1.0 - e)
+    # suffix affine scan: C_j = g_T[j+1] + x[j+1]*C_{j+1}; dL/dx_j = T_j*C_j
+    up = lambda a, s: jnp.where(
+        lane_pos >= S - s, 0.0, jnp.roll(a, -s, axis=1)
+    )
+    Y = up(g_T, 1)
+    M = up(x, 1)
+    for step in _scan_steps(S):
+        Y = Y + M * up(Y, step)
+        M = M * up(M, step)
+    g_x = T * Y
+
+    g_e = g_x - g_w * T                    # x = e + eps; alpha = 1 - e
+    sig_den = jax.nn.sigmoid(den)          # softplus'(den)
+    g_den = g_e * e * (-d) * sig_den
+
+    if compute_log_det:
+        g_la = _gather_cols(g_ldj_ref[0:1, :], i_mod, RT, S)  # (1, B_TILE)
+        g_lr = _gather_cols(g_ldj_ref[1:2, :], i_mod, RT, S)
+        g_la_b = jnp.broadcast_to(g_la, (K, B_TILE))
+        g_lr_b = jnp.broadcast_to(g_lr, (K, B_TILE))
+        # corrections: d/dz (z - softplus z) = 1 - sigmoid(z);
+        #              d/dz (z - 2 softplus z) = 1 - 2 sigmoid(z)
+        g_den = g_den + g_la_b * (1.0 - sig_den)
+        for c in range(3):
+            g_zr[c] = g_zr[c] + g_lr_b * (1.0 - 2.0 * vs[c])
+    else:
+        g_la_b = g_lr_b = None
+
+    # ---- flow backward, both families ----
+    g_z0a = _flow_bwd(
+        trace_a, [g_den], g_la_b, r1a_ref, r2a_ref,
+        g_r1a_ref, g_r2a_ref, g_ba_ref, Z=Z_A, F=F,
+        compute_log_det=compute_log_det,
+    )
+    g_z0r = _flow_bwd(
+        trace_r, g_zr, g_lr_b, r1r_ref, r2r_ref,
+        g_r1r_ref, g_r2r_ref, g_br_ref, Z=Z_R, F=F,
+        compute_log_det=compute_log_det,
+    )
+
+    # ---- z0 is broadcast over points: accumulate the lane-sum across the
+    # whole grid into lane 0 of a single revisited block ----
+    ones_col = (jax.lax.broadcasted_iota(jnp.int32, (B_TILE, 128), 1) == 0
+                ).astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        g_z0a_ref[:, :] = jnp.zeros_like(g_z0a_ref)
+        g_z0r_ref[:, :] = jnp.zeros_like(g_z0r_ref)
+
+    for comp in range(Z_A):
+        g_z0a_ref[comp * K:(comp + 1) * K, :] += _dot(g_z0a[comp], ones_col)
+    for comp in range(Z_R):
+        g_z0r_ref[comp * K:(comp + 1) * K, :] += _dot(g_z0r[comp], ones_col)
+
+
+# --------------------------------------------------------------------- #
+# wrapper
+# --------------------------------------------------------------------- #
+
+
+def _to_rows(r1, r2, b):
+    B = r1.shape[0]
+    Z, F = r1.shape[1], r1.shape[-1]
+    r1_t = r1.transpose(1, 2, 3, 0).reshape(Z * Z * F, B)
+    r2_t = r2.transpose(1, 2, 3, 0).reshape(Z * Z * F, B)
+    b_t = b.transpose(1, 2, 0).reshape(Z * F, B)
+    return r1_t, r2_t, b_t
+
+
+def _z0_col(z0):
+    K, Z = z0.shape
+    return z0.T.reshape(Z * K, 1)
+
+
+def _row_spec(rows):
+    return pl.BlockSpec((rows, B_TILE), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(rows, cols=1):
+    return pl.BlockSpec((rows, cols), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _out_spec(rows, TPB):
+    return pl.BlockSpec((rows, 128), lambda i: (0, i // TPB),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_flow_composite(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
+                         z_pts, d_pts, s_per_ray, compute_log_det,
+                         interpret=False):
+    """Fused flow + composite.
+
+    Args:
+      z0_a: (K, 1) shared density base draws;  z0_r: (K, 3) rgb draws.
+      r1_a, r2_a: (B, 1, 1, F); b_a: (B, 1, F)  — amortized density flow.
+      r1_r, r2_r: (B, 3, 3, F); b_r: (B, 3, F)  — amortized rgb flow.
+      z_pts: (B,) per-point sample depth (z_vals flattened, s minor).
+      d_pts: (B,) per-point interval length * |rays_d| (LAST_DIST tail
+        already applied by the caller).
+      s_per_ray: static samples-per-ray S; B = R * S.
+      compute_log_det: train mode — also return per-ray log-det sums
+        (flow log-dets + final-activation corrections, summed over K and
+        s).  False = the reference's test shortpath (flows.py:204-223).
+
+    Returns:
+      rgb_map (R, 3, K), depth (R, K), acc (R, K), ldj_ray (2, R)
+      [row 0 = density family, row 1 = rgb family; zeros in test mode].
+    """
+    out, _ = _vjp_fwd(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
+                      z_pts, d_pts, s_per_ray, compute_log_det, interpret)
+    return out
+
+
+def _fwd_impl(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
+              z_pts, d_pts, s_per_ray, compute_log_det, interpret):
+    B = r1_a.shape[0]
+    K = z0_a.shape[0]
+    F = r1_a.shape[-1]
+    S = s_per_ray
+    assert supported(B, S, K), (B, S, K)
+    R = B // S
+    RT = B_TILE // S
+    TPB = 128 // RT
+
+    r1a_t, r2a_t, ba_t = _to_rows(r1_a, r2_a, b_a)
+    r1r_t, r2r_t, br_t = _to_rows(r1_r, r2_r, b_r)
+    operands = (
+        _z0_col(z0_a), r1a_t, r2a_t, ba_t,
+        _z0_col(z0_r), r1r_t, r2r_t, br_t,
+        z_pts.reshape(1, B), d_pts.reshape(1, B),
+    )
+    in_specs = [
+        _const_spec(Z_A * K), _row_spec(Z_A * Z_A * F),
+        _row_spec(Z_A * Z_A * F), _row_spec(Z_A * F),
+        _const_spec(Z_R * K), _row_spec(Z_R * Z_R * F),
+        _row_spec(Z_R * Z_R * F), _row_spec(Z_R * F),
+        _row_spec(1), _row_spec(1),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel, K=K, S=S, F=F, compute_log_det=compute_log_det
+    )
+    rgb_t, depth_t, acc_t, ldj_t = pl.pallas_call(
+        kernel,
+        grid=(B // B_TILE,),
+        in_specs=in_specs,
+        out_specs=[
+            _out_spec(3 * K, TPB), _out_spec(K, TPB),
+            _out_spec(K, TPB), _out_spec(2, TPB),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3 * K, R), jnp.float32),
+            jax.ShapeDtypeStruct((K, R), jnp.float32),
+            jax.ShapeDtypeStruct((K, R), jnp.float32),
+            jax.ShapeDtypeStruct((2, R), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    rgb_map = rgb_t.reshape(3, K, R).transpose(2, 0, 1)  # (R, 3, K)
+    return rgb_map, depth_t.T, acc_t.T, ldj_t
+
+
+def _vjp_fwd(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
+             z_pts, d_pts, s_per_ray, compute_log_det, interpret):
+    args = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r, z_pts, d_pts)
+    )
+    out = _fwd_impl(*args, s_per_ray, compute_log_det, interpret)
+    return out, args
+
+
+def _vjp_bwd(s_per_ray, compute_log_det, interpret, res, cotangents):
+    z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r, z_pts, d_pts = res
+    g_rgb_map, g_depth, g_acc, g_ldj = cotangents
+
+    B = r1_a.shape[0]
+    K = z0_a.shape[0]
+    F = r1_a.shape[-1]
+    S = s_per_ray
+    R = B // S
+    RT = B_TILE // S
+    TPB = 128 // RT
+
+    r1a_t, r2a_t, ba_t = _to_rows(r1_a, r2_a, b_a)
+    r1r_t, r2r_t, br_t = _to_rows(r1_r, r2_r, b_r)
+
+    g_rgb_t = g_rgb_map.transpose(1, 2, 0).reshape(3 * K, R)
+    g_depth_t = g_depth.T
+    g_acc_t = g_acc.T
+    g_ldj = g_ldj.astype(jnp.float32)
+
+    operands = (
+        _z0_col(z0_a), r1a_t, r2a_t, ba_t,
+        _z0_col(z0_r), r1r_t, r2r_t, br_t,
+        z_pts.reshape(1, B), d_pts.reshape(1, B),
+        g_rgb_t.astype(jnp.float32), g_depth_t.astype(jnp.float32),
+        g_acc_t.astype(jnp.float32), g_ldj,
+    )
+    in_specs = [
+        _const_spec(Z_A * K), _row_spec(Z_A * Z_A * F),
+        _row_spec(Z_A * Z_A * F), _row_spec(Z_A * F),
+        _const_spec(Z_R * K), _row_spec(Z_R * Z_R * F),
+        _row_spec(Z_R * Z_R * F), _row_spec(Z_R * F),
+        _row_spec(1), _row_spec(1),
+        _out_spec(3 * K, TPB), _out_spec(K, TPB),
+        _out_spec(K, TPB), _out_spec(2, TPB),
+    ]
+
+    kernel = functools.partial(
+        _bwd_kernel, K=K, S=S, F=F, compute_log_det=compute_log_det
+    )
+    const_out = lambda rows: pl.BlockSpec(
+        (rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    (g_z0a_t, g_r1a_t, g_r2a_t, g_ba_t,
+     g_z0r_t, g_r1r_t, g_r2r_t, g_br_t) = pl.pallas_call(
+        kernel,
+        grid=(B // B_TILE,),
+        in_specs=in_specs,
+        out_specs=[
+            const_out(Z_A * K),
+            _row_spec(Z_A * Z_A * F), _row_spec(Z_A * Z_A * F),
+            _row_spec(Z_A * F),
+            const_out(Z_R * K),
+            _row_spec(Z_R * Z_R * F), _row_spec(Z_R * Z_R * F),
+            _row_spec(Z_R * F),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Z_A * K, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Z_A * Z_A * F, B), jnp.float32),
+            jax.ShapeDtypeStruct((Z_A * Z_A * F, B), jnp.float32),
+            jax.ShapeDtypeStruct((Z_A * F, B), jnp.float32),
+            jax.ShapeDtypeStruct((Z_R * K, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Z_R * Z_R * F, B), jnp.float32),
+            jax.ShapeDtypeStruct((Z_R * Z_R * F, B), jnp.float32),
+            jax.ShapeDtypeStruct((Z_R * F, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    g_z0_a = g_z0a_t[:, :1].reshape(Z_A, K).T       # (K, 1)
+    g_z0_r = g_z0r_t[:, :1].reshape(Z_R, K).T       # (K, 3)
+    g_r1_a = g_r1a_t.reshape(Z_A, Z_A, F, B).transpose(3, 0, 1, 2)
+    g_r2_a = g_r2a_t.reshape(Z_A, Z_A, F, B).transpose(3, 0, 1, 2)
+    g_b_a = g_ba_t.reshape(Z_A, F, B).transpose(2, 0, 1)
+    g_r1_r = g_r1r_t.reshape(Z_R, Z_R, F, B).transpose(3, 0, 1, 2)
+    g_r2_r = g_r2r_t.reshape(Z_R, Z_R, F, B).transpose(3, 0, 1, 2)
+    g_b_r = g_br_t.reshape(Z_R, F, B).transpose(2, 0, 1)
+
+    return (g_z0_a, g_r1_a, g_r2_a, g_b_a, g_z0_r, g_r1_r, g_r2_r, g_b_r,
+            jnp.zeros_like(z_pts), jnp.zeros_like(d_pts))
+
+
+fused_flow_composite.defvjp(_vjp_fwd, _vjp_bwd)

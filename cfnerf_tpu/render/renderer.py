@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cfnerf_tpu.ops.compositing import raw2outputs
+from cfnerf_tpu.ops.compositing import LAST_DIST, raw2outputs
 from cfnerf_tpu.ops.embed import Embedder
 from cfnerf_tpu.ops.rays import get_rays, ndc_rays
 from cfnerf_tpu.ops.sampling import sample_pdf, sample_z_vals, stratified_perturb
@@ -41,6 +41,11 @@ class RenderConfig:
     multires: int = 10
     multires_views: int = 4
     i_embed: int = 0
+    # fused flow+composite Pallas render core ('off' | 'on' | 'interpret');
+    # the factory resolves --fused_render=auto to 'on' on TPU.  Consumed by
+    # call sites via models.nerf_flows.make_fused_apply — kept here so one
+    # static config object carries the whole render-path choice.
+    fused: str = "off"
 
     def embedders(self) -> Tuple[Embedder, Optional[Embedder]]:
         if self.i_embed == -1:
@@ -60,6 +65,7 @@ def make_render_rays(
     model_apply: Callable[..., Tuple[jnp.ndarray, jnp.ndarray]],
     config: RenderConfig,
     model_apply_fine: Optional[Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+    model_apply_fused: Optional[Callable[..., Tuple]] = None,
 ) -> Callable[..., Dict[str, jnp.ndarray]]:
     """Build the fused per-batch renderer.
 
@@ -77,10 +83,17 @@ def make_render_rays(
     the capability the reference declares via its N_importance flag but
     never implemented (SURVEY.md section 2 defects; nerf-pytorch semantics).
     Coarse outputs are returned as rgb0/disp0/depth0/loss_entropy0.
+
+    model_apply_fused (models.nerf_flows.make_fused_apply): when given and
+    the batch shape qualifies, flows + composite run as ONE Pallas kernel
+    (ops/pallas/render_core.py) and the (B, K, 4) raw tensor never exists
+    in HBM.  Identical math (tests/test_render_core.py); `weights` is not
+    produced on that path (nothing consumes it outside the hierarchical
+    pass, which stays unfused).
     """
     embedder, embedder_dirs = config.embedders()
 
-    def _query(apply_fn, params, z_vals, rays_o, rays_d, viewdirs, rng_eps, is_test):
+    def _embed(z_vals, rays_o, rays_d, viewdirs):
         R, S = z_vals.shape
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         emb = embedder(pts.reshape(R * S, 3))
@@ -90,6 +103,11 @@ def make_render_rays(
                 emb_dirs[:, None, :], (R, S, emb_dirs.shape[-1])
             ).reshape(R * S, -1)
             emb = jnp.concatenate([emb, emb_dirs], -1)
+        return emb
+
+    def _query(apply_fn, params, z_vals, rays_o, rays_d, viewdirs, rng_eps, is_test):
+        R, S = z_vals.shape
+        emb = _embed(z_vals, rays_o, rays_d, viewdirs)
         raw_flat, loss_entropy = apply_fn(params, emb, is_test=is_test, rng=rng_eps)
         K = raw_flat.shape[-2]
         return raw_flat.reshape(R, S, K, 4), loss_entropy
@@ -118,6 +136,38 @@ def make_render_rays(
             rng_z, rng_eps, rng_noise, rng_pdf, rng_eps_f = jax.random.split(rng, 5)
         if config.perturb and not is_test and rng_z is not None:
             z_vals = stratified_perturb(z_vals, rng_z)
+
+        from cfnerf_tpu.ops.pallas.render_core import supported as _fused_ok
+
+        if (
+            model_apply_fused is not None
+            and config.n_importance == 0
+            and not (config.apply_noise and config.raw_noise_std > 0)
+            and _fused_ok(R * S, S, 1)
+        ):
+            emb = _embed(z_vals, rays_o, rays_d, viewdirs)
+            dists = z_vals[..., 1:] - z_vals[..., :-1]
+            dists = jnp.concatenate(
+                [dists, jnp.full_like(dists[..., :1], LAST_DIST)], -1
+            )
+            d_pts = dists * jnp.linalg.norm(
+                rays_d.astype(jnp.float32), axis=-1, keepdims=True
+            )
+            rgb_map, depth_map, acc_map, loss_entropy = model_apply_fused(
+                params, emb, z_vals.reshape(-1), d_pts.reshape(-1), S,
+                is_test=is_test, rng=rng_eps,
+            )
+            # disp + white background in XLA on the (R, K) kernel outputs
+            # — same math as raw2outputs (reference :446-452)
+            disp_map = 1.0 / jnp.maximum(
+                2e-10, depth_map / (acc_map + 1e-10) + 1e-10
+            )
+            if config.white_bkgd:
+                rgb_map = rgb_map + (1.0 - acc_map[:, None, :])
+            return dict(
+                rgb_map=rgb_map, disp_map=disp_map, depth_map=depth_map,
+                acc_map=acc_map, loss_entropy=loss_entropy,
+            )
 
         coarse_params = params["coarse"] if config.n_importance > 0 else params
         raw, loss_entropy = _query(

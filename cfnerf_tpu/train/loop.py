@@ -197,7 +197,12 @@ def train(args) -> None:
             return model_fine.apply({"params": p}, x, is_test=is_test, rng=rng)
 
     # test-mode renderer (perturb off comes from is_test; fixed-eps draws)
-    render_rays_test = make_render_rays(model_apply, render_config, fine_apply)
+    from cfnerf_tpu.models.nerf_flows import make_fused_apply
+
+    render_rays_test = make_render_rays(
+        model_apply, render_config, fine_apply,
+        make_fused_apply(model, render_config.fused),
+    )
 
     # --- render_only shortcut (reference :833-851) ---
     if args.render_only:

@@ -96,6 +96,28 @@ def _make_apply(model, remat: bool):
     return remat_apply
 
 
+def _make_fused(model, render_config: RenderConfig, remat: bool):
+    """Fused flow+composite apply (or None), with the same optional
+    rematerialization treatment as the regular apply."""
+    from cfnerf_tpu.models.nerf_flows import make_fused_apply
+
+    fused = make_fused_apply(model, render_config.fused)
+    if fused is None or not remat:
+        return fused
+
+    def remat_fused(params, x, z_pts, d_pts, s_per_ray, *, is_test, rng):
+        if is_test:
+            return fused(params, x, z_pts, d_pts, s_per_ray,
+                         is_test=True, rng=rng)
+        ckpt = jax.checkpoint(
+            lambda p, xx, z, d, r: fused(p, xx, z, d, s_per_ray,
+                                         is_test=False, rng=r)
+        )
+        return ckpt(params, x, z_pts, d_pts, rng)
+
+    return remat_fused
+
+
 def make_train_step(
     model,
     render_config: RenderConfig,
@@ -121,8 +143,11 @@ def make_train_step(
 
     model_apply = _make_apply(model, cfg.remat)
     fine_apply = _make_apply(model_fine, cfg.remat) if model_fine is not None else None
+    fused_apply = _make_fused(model, render_config, cfg.remat)
 
-    render_rays_fn = make_render_rays(model_apply, render_config, fine_apply)
+    render_rays_fn = make_render_rays(
+        model_apply, render_config, fine_apply, fused_apply
+    )
 
     shard_rays = None
     if mesh is not None:

@@ -201,6 +201,13 @@ def config_parser() -> ConfigArgumentParser:
                         help="triangular flow stack implementation: fused "
                              "Pallas TPU kernel or XLA elementwise chain "
                              "(auto = pallas on TPU, xla elsewhere)")
+    parser.add_argument("--fused_render", type=str, default="auto",
+                        choices=["auto", "on", "off", "interpret"],
+                        help="fuse flows + K-sample composite into one "
+                             "Pallas kernel (ops/pallas/render_core.py); "
+                             "auto = on for triangular flows on TPU, off "
+                             "elsewhere; falls back per-batch when shapes "
+                             "are unsupported")
     parser.add_argument("--trunk_impl", type=str, default="xla",
                         choices=["xla", "pallas", "interpret"],
                         help="trunk MLP implementation; the fused Pallas "

@@ -1,0 +1,238 @@
+"""Fused flow+composite render core vs the unfused XLA pipeline.
+
+The kernel (ops/pallas/render_core.py) must reproduce — to f32 accuracy —
+the composition of:
+  triangular_sylvester_stack (both families)
+  + final-activation log-det corrections (models.py:261-278)
+  + raw2outputs (run_nerf_uncertainty_NF.py:411-454)
+including gradients w.r.t. every differentiable input (z0 shared draws,
+amortized r1/r2/b of both families).  Runs through the Pallas interpreter
+on the CPU test platform.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfnerf_tpu.flows.sylvester import triangular_sylvester_stack
+from cfnerf_tpu.ops.compositing import LAST_DIST, raw2outputs
+from cfnerf_tpu.ops.pallas.render_core import fused_flow_composite, supported
+
+R, S, K, F = 128, 64, 8, 2
+B = R * S
+
+
+def _inputs(seed=0, saturate=False):
+    rng = np.random.RandomState(seed)
+    sc = 0.5
+    args = dict(
+        z0_a=rng.randn(K, 1) * sc,
+        r1_a=rng.randn(B, 1, 1, F) * sc,
+        r2_a=rng.randn(B, 1, 1, F) * sc,
+        b_a=rng.randn(B, 1, F) * sc,
+        z0_r=rng.randn(K, 3) * sc,
+        r1_r=np.triu(rng.randn(B, 3, 3, F).transpose(0, 3, 1, 2) * sc
+                     ).transpose(0, 2, 3, 1),
+        r2_r=np.triu(rng.randn(B, 3, 3, F).transpose(0, 3, 1, 2) * sc
+                     ).transpose(0, 2, 3, 1),
+        b_r=rng.randn(B, 3, F) * sc,
+    )
+    if saturate:
+        # drive some densities to alpha == 1 (transmittance kill zone)
+        args["b_a"][: B // 7, 0, :] = 8.0
+    z_vals = (np.sort(rng.rand(R, S), -1) * 3.5 + 0.5).astype(np.float32)
+    rays_d = rng.randn(R, 3).astype(np.float32)
+    args = {k: jnp.asarray(v, jnp.float32) for k, v in args.items()}
+    return args, jnp.asarray(z_vals), jnp.asarray(rays_d)
+
+
+def _dists(z_vals, rays_d):
+    d = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1],
+         jnp.full_like(z_vals[..., :1], LAST_DIST)], -1,
+    )
+    return d * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+
+def unfused(args, z_vals, rays_d, compute_log_det=True):
+    """The XLA pipeline the kernel replaces (flows + corrections +
+    raw2outputs), returning the kernel's output signature."""
+    alpha0 = jnp.broadcast_to(args["z0_a"][None], (B, K, 1))
+    rgb0 = jnp.broadcast_to(args["z0_r"][None], (B, K, 3))
+    z_a, ldj_a = triangular_sylvester_stack(
+        alpha0, args["r1_a"], args["r2_a"], args["b_a"],
+        compute_log_det=compute_log_det,
+    )
+    z_r, ldj_r = triangular_sylvester_stack(
+        rgb0, args["r1_r"], args["r2_r"], args["b_r"],
+        compute_log_det=compute_log_det,
+    )
+    raw = jnp.concatenate([z_r, z_a], -1).reshape(R, S, K, 4)
+    rgb_map, disp, acc, w, depth = raw2outputs(raw, z_vals, rays_d)
+    if compute_log_det:
+        ldj_a = ldj_a + (z_a - jax.nn.softplus(z_a)).sum(-1)
+        ldj_r = ldj_r + (z_r - 2.0 * jax.nn.softplus(z_r)).sum(-1)
+        ldj_ray = jnp.stack([
+            ldj_a.reshape(R, S, K).sum((1, 2)),
+            ldj_r.reshape(R, S, K).sum((1, 2)),
+        ])
+    else:
+        ldj_ray = jnp.zeros((2, R))
+    return rgb_map, depth, acc, ldj_ray
+
+
+def fused(args, z_vals, rays_d, compute_log_det=True):
+    return fused_flow_composite(
+        args["z0_a"], args["r1_a"], args["r2_a"], args["b_a"],
+        args["z0_r"], args["r1_r"], args["r2_r"], args["b_r"],
+        z_vals.ravel(), _dists(z_vals, rays_d).ravel(),
+        S, compute_log_det, True,
+    )
+
+
+@pytest.mark.parametrize("saturate", [False, True])
+def test_forward_parity(saturate):
+    args, z_vals, rays_d = _inputs(saturate=saturate)
+    ref = unfused(args, z_vals, rays_d)
+    out = fused(args, z_vals, rays_d)
+    for name, a, b in zip(("rgb", "depth", "acc", "ldj"), out, ref):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-5, atol=2e-4, err_msg=name
+        )
+
+
+def test_forward_test_mode():
+    args, z_vals, rays_d = _inputs(seed=2)
+    ref = unfused(args, z_vals, rays_d, compute_log_det=False)
+    out = fused(args, z_vals, rays_d, compute_log_det=False)
+    for name, a, b in zip(("rgb", "depth", "acc"), out[:3], ref[:3]):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4, err_msg=name)
+    assert float(jnp.abs(out[3]).max()) == 0.0
+
+
+@pytest.mark.parametrize("saturate", [False, True])
+def test_grad_parity(saturate):
+    args, z_vals, rays_d = _inputs(seed=1, saturate=saturate)
+    target = jnp.asarray(np.random.RandomState(5).rand(R, 3), jnp.float32)
+
+    def make_loss(pipeline):
+        def loss(args):
+            rgb, depth, acc, ldj = pipeline(args, z_vals, rays_d)
+            # exercises every output: kde-like rgb term + depth + acc +
+            # the entropy-style ldj means
+            return (
+                ((rgb.mean(-1) - target) ** 2).mean()
+                + 0.1 * depth.mean()
+                + 0.05 * acc.mean()
+                - 0.01 * (ldj[0].sum() + ldj[1].sum()) / (B * K)
+            )
+        return loss
+
+    g_ref = jax.grad(make_loss(unfused))(args)
+    g_fused = jax.grad(make_loss(fused))(args)
+    for k in args:
+        a, b = np.asarray(g_fused[k]), np.asarray(g_ref[k])
+        assert np.all(np.isfinite(a)), k
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-6, err_msg=f"grad[{k}]"
+        )
+
+
+def test_supported_gate():
+    assert supported(128 * 128, 128, 32)       # flagship eval tile
+    assert supported(640 * 128, 128, 32)       # reference train batch
+    assert not supported(100 * 128, 128, 32)   # R % 128 != 0
+    assert not supported(128 * 96, 96, 32)     # B_TILE % S != 0
+
+
+# ------------------------------------------------------------------ #
+# end-to-end: full renderer + real NeRFFlows model, fused vs unfused
+# ------------------------------------------------------------------ #
+
+
+def _tiny_model_and_renderers():
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows, make_fused_apply
+    from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays
+
+    model = NeRFFlows(
+        net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+        skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=8,
+        use_viewdirs=True, type_flows="triangular",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 90), jnp.float32), is_test=True
+    )["params"]
+
+    def model_apply(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    rc = RenderConfig(n_samples=64, perturb=True, use_viewdirs=True)
+    rr_plain = make_render_rays(model_apply, rc)
+    rr_fused = make_render_rays(
+        model_apply, rc, None, make_fused_apply(model, "interpret")
+    )
+    return params, rr_plain, rr_fused
+
+
+def _ray_batch(n=128, seed=7):
+    rng = np.random.RandomState(seed)
+    rays_o = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    rays_d = jnp.asarray(
+        np.concatenate([rng.randn(n, 2) * 0.1, -np.ones((n, 1))], -1),
+        jnp.float32,
+    )
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = jnp.full((n, 1), 0.5)
+    far = jnp.full((n, 1), 4.0)
+    return rays_o, rays_d, vd, near, far
+
+
+@pytest.mark.parametrize("is_test", [False, True])
+def test_renderer_end_to_end(is_test):
+    params, rr_plain, rr_fused = _tiny_model_and_renderers()
+    rays = _ray_batch()
+    key = jax.random.PRNGKey(3)
+    # identical rng => identical stratified jitter and shared-K eps draws
+    a = rr_plain(params, *rays, key, is_test=is_test)
+    b = rr_fused(params, *rays, key, is_test=is_test)
+    for k in ("rgb_map", "disp_map", "depth_map", "acc_map", "loss_entropy"):
+        np.testing.assert_allclose(
+            b[k], a[k], rtol=2e-5, atol=2e-4, err_msg=k
+        )
+    assert "weights" not in b  # fused path does not materialize weights
+
+
+def test_renderer_end_to_end_param_grads():
+    params, rr_plain, rr_fused = _tiny_model_and_renderers()
+    rays = _ray_batch()
+    key = jax.random.PRNGKey(4)
+    target = jnp.asarray(np.random.RandomState(9).rand(128, 3), jnp.float32)
+
+    def make_loss(rr):
+        def loss(params):
+            out = rr(params, *rays, key, is_test=False)
+            mse = ((out["rgb_map"].mean(-1) - target) ** 2).mean()
+            return mse + 0.01 * out["loss_entropy"]
+        return loss
+
+    g_a = jax.grad(make_loss(rr_plain))(params)
+    g_b = jax.grad(make_loss(rr_fused))(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(g_a)
+    flat_b = jax.tree_util.tree_leaves(g_b)
+    for (path, a), b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            b, a, rtol=1e-3, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_renderer_shape_fallback():
+    # R=100 is unsupported (R % 128): the fused renderer must silently use
+    # the regular path and still produce weights
+    params, rr_plain, rr_fused = _tiny_model_and_renderers()
+    rays = _ray_batch(n=100)
+    out = rr_fused(params, *rays, jax.random.PRNGKey(0), is_test=False)
+    assert "weights" in out
+    ref = rr_plain(params, *rays, jax.random.PRNGKey(0), is_test=False)
+    np.testing.assert_allclose(out["rgb_map"], ref["rgb_map"], rtol=1e-6)
