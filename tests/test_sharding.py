@@ -75,6 +75,45 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
+def test_dp_matches_single_device_fused():
+    """The fused flow+composite Pallas render core (interpret mode) under
+    the 8-device DP mesh: GSPMD must still produce single-device numbers
+    (the pallas_call is opaque to the partitioner — this pins that the
+    surrounding sharded step stays correct)."""
+    def setup(mesh):
+        model = NeRFFlows(
+            net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+            skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2,
+            k_samples=8,
+        )
+        # R=128, S=64 -> B=8192: the fused kernel's supported() shape
+        rc = RenderConfig(n_samples=64, fused="interpret")
+        tc = TrainConfig(H=8, W=8, focal=10.0, ndc=False, near=0.5,
+                         far=4.0, k_samples=8, beta1=0.01)
+        step, tx = make_train_step(model, rc, tc, mesh=mesh)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True
+        )["params"]
+        return step, tx, params
+
+    batch = _batch(R=128)
+    key = jax.random.PRNGKey(7)
+
+    mesh8 = create_mesh(8)
+    step8, tx8, params = setup(mesh8)
+    p8 = replicate(mesh8, params)
+    p8_out, _, m8 = step8(p8, tx8.init(p8), shard_batch(mesh8, batch), key)
+
+    step1, tx1, _ = setup(None)
+    p1_out, _, m1 = step1(params, tx1.init(params), batch, key)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p8_out),
+                    jax.tree_util.tree_leaves(p1_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_batch_actually_sharded():
     mesh = create_mesh(8)
     b = shard_batch(mesh, _batch(64))
