@@ -48,6 +48,43 @@ from cfnerf_tpu.train.step import TrainConfig, make_train_loop, make_train_step
 N_DEPTH = 128  # depth rays per step (reference :855)
 
 
+def parse_k_schedule(spec: str):
+    """Parse --k_schedule 'K:step,K:step,...' (e.g. '8:0,16:2000,32:5000')
+    into a sorted [(start_step, K), ...] piecewise-constant schedule.
+
+    TPU-native training-efficiency lever (PERF.md): the per-step cost is
+    ~linear in K (flow stack, composite, KDE loss all carry the K axis,
+    and the trunk is amortized over it), while early optimization is
+    dominated by the radiance mean, not the spread — so ramping K spends
+    Monte-Carlo samples only once the distribution matters.  K is not a
+    parameter axis: checkpoints, optimizer state, and the eval model are
+    identical across stages; each stage is one extra jit compile."""
+    stages = []
+    for part in spec.split(","):
+        try:
+            k_str, step_str = part.split(":")
+            stages.append((int(step_str), int(k_str)))
+        except ValueError:
+            raise ValueError(
+                f"bad --k_schedule entry {part!r}; expected 'K:start_step' "
+                "items, e.g. '8:0,16:2000,32:5000'"
+            )
+    stages.sort()
+    if stages[0][0] != 0:
+        raise ValueError("--k_schedule must define a stage starting at step 0")
+    if any(k <= 0 for _, k in stages):
+        raise ValueError("--k_schedule K values must be positive")
+    return stages
+
+
+def k_for_step(stages, step: int) -> int:
+    k = stages[0][1]
+    for s, kk in stages:
+        if step >= s:
+            k = kk
+    return k
+
+
 def load_dataset(args):
     """Dataset dispatch (reference :730-801). Returns a dict of scene data."""
     if args.dataset_type == "llff":
@@ -277,6 +314,39 @@ def train(args) -> None:
     )
     opt_state = tx.init(params)
 
+    k_stages = None
+    if getattr(args, "k_schedule", ""):
+        import dataclasses
+
+        k_stages = parse_k_schedule(args.k_schedule)
+        if k_stages[-1][1] != args.K_samples:
+            print(
+                f"WARNING: --k_schedule ends at K={k_stages[-1][1]} but "
+                f"--K_samples={args.K_samples}; eval/test renders use "
+                f"K={args.K_samples}"
+            )
+        _stage_cache = {}
+
+        def _stage_builders(k):
+            """(train_step, train_loop) compiled for K=k.  K is not a
+            parameter axis, so params/opt_state flow across stages
+            unchanged; each new K costs one jit compile."""
+            if k not in _stage_cache:
+                m_k = model.clone(k_samples=k)
+                fine_k = model_fine.clone(k_samples=k) if model_fine is not None else None
+                tc_k = dataclasses.replace(tc, k_samples=k)
+                st, _ = make_train_step(
+                    m_k, render_config, tc_k, mesh=mesh, model_fine=fine_k
+                )
+                lp = None
+                if max(1, getattr(args, "n_inner", 1)) > 1:
+                    lp, _ = make_train_loop(
+                        m_k, render_config, tc_k, mesh=mesh,
+                        n_inner=max(1, args.n_inner), model_fine=fine_k,
+                    )
+                _stage_cache[k] = (st, lp)
+            return _stage_cache[k]
+
     logger = MetricsLogger(args.basedir, args.dataname, args.expname)
     rng = jax.random.PRNGKey(args.seed + start)
 
@@ -333,9 +403,12 @@ def train(args) -> None:
             t0 = time.time()
             i_prev = i
             rng, krng = jax.random.split(rng)
+            step_fn, loop_fn = train_step, (train_loop_fn if n_inner > 1 else None)
+            if k_stages is not None:
+                step_fn, loop_fn = _stage_builders(k_for_step(k_stages, i))
             if n_inner == 1:
                 i, batch = prefetcher.next()
-                params, opt_state, metrics = train_step(params, opt_state, batch, krng)
+                params, opt_state, metrics = step_fn(params, opt_state, batch, krng)
             else:
                 samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
                 stacked = {
@@ -344,7 +417,7 @@ def train(args) -> None:
                 }
                 stacked = shard_stacked_batch(mesh, stacked)
                 i += n_inner
-                params, opt_state, metrics = train_loop_fn(params, opt_state, stacked, krng)
+                params, opt_state, metrics = loop_fn(params, opt_state, stacked, krng)
                 metrics = {k: v[-1] for k, v in metrics.items()}  # last inner step
 
             if _crossed(i_prev, i, args.i_weights):

@@ -201,6 +201,14 @@ def config_parser() -> ConfigArgumentParser:
                         help="triangular flow stack implementation: fused "
                              "Pallas TPU kernel or XLA elementwise chain "
                              "(auto = pallas on TPU, xla elsewhere)")
+    parser.add_argument("--k_schedule", type=str, default="",
+                        help="piecewise-constant Monte-Carlo sample-count "
+                             "schedule 'K:start_step,...' (e.g. "
+                             "'8:0,16:2000,32:5000'); step cost is ~linear "
+                             "in K, so ramping K spends samples only once "
+                             "the distribution matters; K is not a "
+                             "parameter axis — checkpoints and eval are "
+                             "unchanged (empty = fixed --K_samples)")
     parser.add_argument("--fused_render", type=str, default="auto",
                         choices=["auto", "on", "off", "interpret"],
                         help="fuse flows + K-sample composite into one "

@@ -50,7 +50,12 @@ def ray_trace_scene(rays_o, rays_d):
     return color.astype(np.float32)
 
 
-def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0):
+def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1):
+    """ss > 1: supersample the analytic render ss x ss per pixel and
+    box-filter down — anti-aliased ground truth.  The aliased hard
+    silhouettes of the ss=1 render put a ~22 dB ceiling on ANY smooth
+    radiance field (EVAL_r02 observation); supersampling removes that
+    floor so eval PSNR measures the model, not the rasterizer."""
     import imageio.v2 as imageio
 
     from cfnerf_tpu.data.blender import pose_spherical
@@ -68,8 +73,10 @@ def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0):
             theta = 360.0 * i / n + (0 if split == "train" else 360.0 / (2 * n))
             phi = -25.0 - 15.0 * rng.rand() if split == "train" else -30.0
             c2w = pose_spherical(theta - 180.0, phi, radius)
-            ro, rd = get_rays_np(H, W, focal, c2w[:3, :4])
+            ro, rd = get_rays_np(H * ss, W * ss, focal * ss, c2w[:3, :4])
             img = ray_trace_scene(ro, rd)
+            if ss > 1:
+                img = img.reshape(H, ss, W, ss, 3).mean((1, 3))
             rgba = np.concatenate(
                 [img, np.ones((*img.shape[:-1], 1), np.float32)], -1
             )
@@ -90,6 +97,16 @@ def main():
     ap.add_argument("--outdir", default="/tmp/cfnerf_demo")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--cpu", action="store_true", help="force the CPU mesh")
+    ap.add_argument("--res", type=int, default=64, help="image H=W")
+    ap.add_argument("--n_train", type=int, default=20)
+    ap.add_argument("--n_val", type=int, default=4)
+    ap.add_argument("--supersample", type=int, default=1,
+                    help="anti-alias the analytic GT (ss x ss box filter)")
+    ap.add_argument("--netwidth", type=int, default=256)
+    ap.add_argument("--N_samples", type=int, default=64)
+    ap.add_argument("--K_samples", type=int, default=16)
+    ap.add_argument("--N_rand", type=int, default=1024)
+    ap.add_argument("--expname", default="demo")
     args_demo = ap.parse_args()
 
     if args_demo.cpu:
@@ -102,14 +119,23 @@ def main():
     from cfnerf_tpu.train.loop import train
     from cfnerf_tpu.utils.config import parse_args
 
-    datadir = make_dataset(os.path.join(args_demo.outdir, "scene"))
+    scene_tag = f"scene_{args_demo.res}_{args_demo.n_train}_{args_demo.supersample}"
+    datadir = make_dataset(
+        os.path.join(args_demo.outdir, scene_tag),
+        H=args_demo.res, W=args_demo.res,
+        n_train=args_demo.n_train, n_val=args_demo.n_val,
+        ss=args_demo.supersample,
+    )
     basedir = os.path.join(args_demo.outdir, "logs")
     flags = [
-        "--expname", "demo", "--dataname", "spheres", "--basedir", basedir,
+        "--expname", args_demo.expname, "--dataname", "spheres",
+        "--basedir", basedir,
         "--datadir", datadir, "--dataset_type", "blender", "--testskip", "1",
-        "--N_rand", "1024", "--N_samples", "64", "--K_samples", "16",
+        "--N_rand", str(args_demo.N_rand),
+        "--N_samples", str(args_demo.N_samples),
+        "--K_samples", str(args_demo.K_samples),
         "--n_flows", "4", "--h_alpha_size", "64", "--h_rgb_size", "64",
-        "--netdepth", "8", "--netwidth", "256",
+        "--netdepth", "8", "--netwidth", str(args_demo.netwidth),
         "--type_flows", "triangular", "--beta1", "0.01",
         "--use_viewdirs", "--white_bkgd", "--no_ndc",
         "--lrate", "5e-4", "--n_inner", "10",
