@@ -220,16 +220,19 @@ def main():
     train_combos = [
         dict(batch_size=2048, remat=False, n_inner=20),
         dict(batch_size=2048, remat=False, n_inner=40),
+        # the fused render core freed the raw/composite HBM buffers, so
+        # larger batches fit without remat — sweep them
+        dict(batch_size=4096, remat=False, n_inner=20),
         dict(batch_size=4096, remat=False),
-        dict(batch_size=4096, remat=True),
+        dict(batch_size=8192, remat=False),
         dict(batch_size=8192, remat=True),
     ]
     train_best, train_cfg = _sweep(bench_train, train_combos, "train")
 
     infer_combos = [
-        dict(batch_size=4096),
         dict(batch_size=8192),
         dict(batch_size=16384),
+        dict(batch_size=32768),
     ]
     infer_best, infer_cfg = _sweep(bench_inference, infer_combos, "infer")
 

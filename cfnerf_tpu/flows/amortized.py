@@ -40,10 +40,30 @@ class AmortizedTriangularSylvester(nn.Module):
         )
 
         B = h.shape[0]
-        full_d = dense(F * Z * Z, "amor_d")(h).reshape(B, Z, Z, F)
-        diag1 = jnp.tanh(dense(F * Z, "amor_diag1")(h)).reshape(B, Z, F)
-        diag2 = jnp.tanh(dense(F * Z, "amor_diag2")(h)).reshape(B, Z, F)
-        b = dense(F * Z, "amor_b")(h).reshape(B, Z, F)
+        heads = (("amor_d", F * Z * Z), ("amor_diag1", F * Z),
+                 ("amor_diag2", F * Z), ("amor_b", F * Z))
+        if self.is_initializing():
+            outs = {name: dense(feats, name)(h) for name, feats in heads}
+        else:
+            # Fan-out fusion: the four heads share input h, so one
+            # (h_size, sum_feats) matmul replaces four MXU-lane-padded
+            # small-N matmuls and three extra HBM reads of h.  Params are
+            # the SAME tensors (read from the module scope, concatenated
+            # at apply time) — pytree/checkpoints/init unchanged; math is
+            # column-identical.
+            p = self.variables["params"]
+            kcat = jnp.concatenate([p[n]["kernel"] for n, _ in heads], axis=1)
+            bcat = jnp.concatenate([p[n]["bias"] for n, _ in heads], axis=0)
+            y = jnp.dot(h.astype(jnp.float32), kcat) + bcat
+            outs, off = {}, 0
+            for name, feats in heads:
+                outs[name] = y[:, off:off + feats]
+                off += feats
+
+        full_d = outs["amor_d"].reshape(B, Z, Z, F)
+        diag1 = jnp.tanh(outs["amor_diag1"]).reshape(B, Z, F)
+        diag2 = jnp.tanh(outs["amor_diag2"]).reshape(B, Z, F)
+        b = outs["amor_b"].reshape(B, Z, F)
 
         # Strictly-upper mask (diagonal=1), then place tanh-bounded diagonals.
         triu = jnp.asarray(np.triu(np.ones((Z, Z), np.float32), k=1))[None, :, :, None]

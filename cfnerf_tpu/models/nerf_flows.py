@@ -220,8 +220,26 @@ class NeRFFlows(nn.Module):
                 h = (input_pts, h)
 
         if self.use_viewdirs:
-            h_alpha = self.h_alpha_linear(h)
-            feature = self.feature_linear(h)
+            if isinstance(h, tuple) or self.is_initializing():
+                h_alpha = self.h_alpha_linear(h)
+                feature = self.feature_linear(h)
+            else:
+                # fan-out fusion: feature_linear and h_alpha_linear share
+                # input h — one (W, W + h_alpha_size) matmul instead of two
+                # reads of the (B, W) activation; params unchanged (read
+                # from scope, concatenated at apply time)
+                p = self.variables["params"]
+                kcat = jnp.concatenate(
+                    [p["feature_linear"]["kernel"],
+                     p["h_alpha_linear"]["kernel"]], axis=1,
+                ).astype(self.compute_dtype)
+                bcat = jnp.concatenate(
+                    [p["feature_linear"]["bias"],
+                     p["h_alpha_linear"]["bias"]], axis=0,
+                ).astype(self.compute_dtype)
+                y = jnp.dot(h, kcat) + bcat
+                feature = y[:, : self.net_width]
+                h_alpha = y[:, self.net_width:]
             hv = nn.relu(self.views_linear((feature, input_views)))
             h_rgb = self.h_rgb_linear(hv)
         else:
