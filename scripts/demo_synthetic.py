@@ -107,6 +107,8 @@ def main():
     ap.add_argument("--K_samples", type=int, default=16)
     ap.add_argument("--N_rand", type=int, default=1024)
     ap.add_argument("--expname", default="demo")
+    ap.add_argument("--k_schedule", default="",
+                    help="passthrough to the trainer's --k_schedule")
     args_demo = ap.parse_args()
 
     if args_demo.cpu:
@@ -144,6 +146,8 @@ def main():
         "--i_img", "0", "--chunk", "4096",
         "--compute_dtype", "bfloat16",
     ]
+    if args_demo.k_schedule:
+        flags += ["--k_schedule", args_demo.k_schedule]
     train(parse_args(flags + ["--is_train"]))
     summary = evaluate(parse_args(flags))
     print("DEMO SUMMARY:", json.dumps(
