@@ -71,3 +71,37 @@ def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params_tp(mesh: Mesh, params: Any) -> Any:
+    """Tensor-parallel placement: split every trunk/head kernel's OUTPUT
+    (width) axis across the model mesh axis; biases likewise; everything
+    else (flow base-dist scalars, amortization heads — tiny) replicated.
+
+    The CF-NeRF model is small enough to replicate (SURVEY.md section
+    5.8), so this is the pod-scale door-opener, not a single-host win:
+    with params placed this way, GSPMD propagates the width sharding
+    through the matmul chain and inserts the all-gathers/reduce-scatters
+    itself — no model code changes.  Numerical equivalence with the
+    replicated layout is pinned by tests/test_sharding.py."""
+    if mesh.shape.get(MODEL_AXIS, 1) == 1:
+        return replicate(mesh, params)
+
+    width_kernel = NamedSharding(mesh, P(None, MODEL_AXIS))
+    width_bias = NamedSharding(mesh, P(MODEL_AXIS))
+    repl = replicated_sharding(mesh)
+
+    def place(path, x):
+        names = [getattr(p, "key", str(p)) for p in path]
+        module = names[0] if names else ""
+        leaf = names[-1] if names else ""
+        wide = (
+            module.startswith("pts_linear")
+            or module in ("feature_linear", "views_linear")
+        )
+        if wide and x.ndim >= 1:
+            sh = width_kernel if leaf == "kernel" else width_bias
+            return jax.device_put(x, sh)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map_with_path(place, params)

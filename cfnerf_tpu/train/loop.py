@@ -222,8 +222,17 @@ def train(args) -> None:
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"model params: {n_params:,}")
 
-    mesh = create_mesh(args.mesh_devices if args.mesh_devices > 0 else None)
+    mp = max(1, getattr(args, "model_parallel", 1))
+    mesh = create_mesh(
+        args.mesh_devices if args.mesh_devices > 0 else None,
+        model_parallel=mp,
+    )
     n_data = mesh.shape["data"]
+    if mp > 1:
+        from cfnerf_tpu.parallel.mesh import shard_params_tp
+
+        params = shard_params_tp(mesh, params)
+        print(f"tensor-parallel trunk over mesh {dict(mesh.shape)}")
 
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)

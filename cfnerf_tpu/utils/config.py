@@ -188,6 +188,13 @@ def config_parser() -> ConfigArgumentParser:
                         choices=["float32", "bfloat16"], help="MLP trunk matmul dtype")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="devices in the data mesh (0 = all)")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="model-axis size of a 2-D (data x model) "
+                             "mesh; the trunk/head widths are tensor-"
+                             "parallel via shard_params_tp (GSPMD inserts "
+                             "the collectives). The CF-NeRF model fits "
+                             "replicated, so this is the pod-scale door, "
+                             "not a single-host win")
     parser.add_argument("--seed", type=int, default=0, help="global PRNG seed")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans (numerics sanitizer; the "

@@ -114,6 +114,34 @@ def test_dp_matches_single_device_fused():
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_tp_matches_single_device():
+    """2-D (data=4, model=2) mesh with the trunk width tensor-parallel
+    (shard_params_tp): GSPMD inserts the collectives; numbers must match
+    single-device execution."""
+    from cfnerf_tpu.parallel.mesh import shard_params_tp
+
+    batch = _batch(R=64)
+    key = jax.random.PRNGKey(7)
+
+    mesh = create_mesh(8, model_parallel=2)
+    step_tp, tx_tp, params = _setup(mesh)
+    p_tp = shard_params_tp(mesh, params)
+    # placement sanity: a trunk kernel is split over the model axis
+    k0 = p_tp["pts_linear_0"]["kernel"]
+    shard_cols = {s.data.shape[1] for s in k0.addressable_shards}
+    assert shard_cols == {k0.shape[1] // 2}
+    p_out, _, m_tp = step_tp(p_tp, tx_tp.init(p_tp), shard_batch(mesh, batch), key)
+
+    step1, tx1, _ = _setup(None)
+    p1_out, _, m1 = step1(params, tx1.init(params), batch, key)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_out),
+                    jax.tree_util.tree_leaves(p1_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_batch_actually_sharded():
     mesh = create_mesh(8)
     b = shard_batch(mesh, _batch(64))

@@ -155,3 +155,19 @@ def test_profiler_trace_export(tmp_path):
                         recursive=True) + _glob.glob(
         os.path.join(profdir, "**", "*.xplane.pb"), recursive=True)
     assert traces, f"no trace written under {profdir}"
+
+
+def test_blender_train_model_parallel(tmp_path):
+    """--model_parallel 2: the CLI train loop on a 2-D (4 data x 2 model)
+    mesh with the trunk width tensor-parallel (shard_params_tp)."""
+    datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
+    basedir = str(tmp_path / "logs")
+    args = _base_args(datadir, basedir, extra=["--model_parallel", "2"])
+    train(args)
+
+    import json
+
+    mfile = os.path.join(basedir, "tiny", "summaries", "t", "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mfile)]
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
