@@ -139,6 +139,67 @@ def test_grad_parity(saturate):
         )
 
 
+def test_flagship_sample_count():
+    """S=128 (the flagship z-schedule length): one ray exactly fills a
+    128-lane register group — the boundary case of the scan masks."""
+    S128, R128 = 128, 128
+    B128 = R128 * S128
+    rng = np.random.RandomState(11)
+    sc = 0.5
+    args = {
+        "z0_a": rng.randn(K, 1) * sc,
+        "r1_a": rng.randn(B128, 1, 1, F) * sc,
+        "r2_a": rng.randn(B128, 1, 1, F) * sc,
+        "b_a": rng.randn(B128, 1, F) * sc,
+        "z0_r": rng.randn(K, 3) * sc,
+        "r1_r": np.triu(rng.randn(B128, F, 3, 3) * sc).transpose(0, 2, 3, 1),
+        "r2_r": np.triu(rng.randn(B128, F, 3, 3) * sc).transpose(0, 2, 3, 1),
+        "b_r": rng.randn(B128, 3, F) * sc,
+    }
+    args = {k: jnp.asarray(v, jnp.float32) for k, v in args.items()}
+    z_vals = jnp.asarray(
+        np.sort(rng.rand(R128, S128), -1) * 3.5 + 0.5, jnp.float32
+    )
+    rays_d = jnp.asarray(rng.randn(R128, 3), jnp.float32)
+
+    alpha0 = jnp.broadcast_to(args["z0_a"][None], (B128, K, 1))
+    rgb0 = jnp.broadcast_to(args["z0_r"][None], (B128, K, 3))
+    z_a, ldj_a = triangular_sylvester_stack(
+        alpha0, args["r1_a"], args["r2_a"], args["b_a"])
+    z_r, ldj_r = triangular_sylvester_stack(
+        rgb0, args["r1_r"], args["r2_r"], args["b_r"])
+    raw = jnp.concatenate([z_r, z_a], -1).reshape(R128, S128, K, 4)
+    rgb_ref, _, acc_ref, _, depth_ref = raw2outputs(raw, z_vals, rays_d)
+
+    rgb, depth, acc, _ = fused_flow_composite(
+        args["z0_a"], args["r1_a"], args["r2_a"], args["b_a"],
+        args["z0_r"], args["r1_r"], args["r2_r"], args["b_r"],
+        z_vals.ravel(), _dists(z_vals, rays_d).ravel(), S128, True, True,
+    )
+    np.testing.assert_allclose(rgb, rgb_ref, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(depth, depth_ref, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(acc, acc_ref, rtol=2e-5, atol=2e-4)
+
+
+def test_extreme_values_finite():
+    """Saturated tanh, huge densities (alpha == 1 exactly), tiny log-det
+    arguments: outputs and all gradients stay finite (LOGDET_EPS and the
+    division-free reverse scan are the guards)."""
+    args, z_vals, rays_d = _inputs(seed=13)
+    big = {k: (v * 50.0 if k.startswith(("r1", "r2", "b")) else v)
+           for k, v in args.items()}
+
+    def loss(a):
+        rgb, depth, acc, ldj = fused(a, z_vals, rays_d)
+        return rgb.mean() + depth.mean() - 0.01 * ldj.sum() / (B * K)
+
+    val = float(loss(big))
+    assert np.isfinite(val)
+    g = jax.grad(loss)(big)
+    for k, v in g.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
 def test_supported_gate():
     assert supported(128 * 128, 128, 32)       # flagship eval tile
     assert supported(640 * 128, 128, 32)       # reference train batch
