@@ -114,17 +114,39 @@ def test_dp_matches_single_device_fused():
                                    rtol=2e-5, atol=2e-6)
 
 
-def test_tp_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("fused", ["off", "interpret"])
+def test_tp_matches_single_device(fused):
     """2-D (data=4, model=2) mesh with the trunk width tensor-parallel
     (shard_params_tp): GSPMD inserts the collectives; numbers must match
-    single-device execution."""
+    single-device execution — with and without the fused Pallas render
+    core on the hot path."""
+    import dataclasses
+
     from cfnerf_tpu.parallel.mesh import shard_params_tp
 
-    batch = _batch(R=64)
+    def setup(mesh):
+        model = NeRFFlows(
+            net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+            skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+        )
+        # R=128/S=64 qualifies for the fused kernel's supported() shapes
+        rc = RenderConfig(n_samples=64, fused=fused)
+        tc = TrainConfig(H=8, W=8, focal=10.0, ndc=False, near=0.5, far=4.0,
+                         k_samples=4, beta1=0.01)
+        step, tx = make_train_step(model, rc, tc, mesh=mesh)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True
+        )["params"]
+        return step, tx, params
+
+    batch = _batch(R=128)
     key = jax.random.PRNGKey(7)
 
     mesh = create_mesh(8, model_parallel=2)
-    step_tp, tx_tp, params = _setup(mesh)
+    step_tp, tx_tp, params = setup(mesh)
     p_tp = shard_params_tp(mesh, params)
     # placement sanity: a trunk kernel is split over the model axis
     k0 = p_tp["pts_linear_0"]["kernel"]
@@ -132,7 +154,7 @@ def test_tp_matches_single_device():
     assert shard_cols == {k0.shape[1] // 2}
     p_out, _, m_tp = step_tp(p_tp, tx_tp.init(p_tp), shard_batch(mesh, batch), key)
 
-    step1, tx1, _ = _setup(None)
+    step1, tx1, _ = setup(None)
     p1_out, _, m1 = step1(params, tx1.init(params), batch, key)
 
     np.testing.assert_allclose(float(m_tp["loss"]), float(m1["loss"]), rtol=1e-5)
