@@ -76,6 +76,15 @@ def make_fused_apply(model, mode: str):
         return None
     if not isinstance(model, NeRFFlows) or model.type_flows != "triangular":
         return None
+    if mode == "on" and jax.default_backend() != "tpu":
+        # fail at build time with a clear message instead of a Mosaic
+        # lowering error at first compile (same policy as the flag audit:
+        # never let an explicit implementation choice crash opaquely)
+        raise ValueError(
+            "--fused_render=on requires a TPU backend "
+            f"(got {jax.default_backend()!r}); use 'interpret' for CPU "
+            "testing or 'auto'/'off'"
+        )
     interpret = mode == "interpret"
 
     def apply_fused(params, x, z_pts, d_pts, s_per_ray, *, is_test, rng):

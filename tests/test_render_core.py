@@ -297,3 +297,14 @@ def test_renderer_shape_fallback():
     assert "weights" in out
     ref = rr_plain(params, *rays, jax.random.PRNGKey(0), is_test=False)
     np.testing.assert_allclose(out["rgb_map"], ref["rgb_map"], rtol=1e-6)
+
+
+def test_fused_on_requires_tpu():
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows as _M, make_fused_apply
+
+    m = _M(net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+           skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4)
+    with pytest.raises(ValueError, match="requires a TPU backend"):
+        make_fused_apply(m, "on")  # tests run on the CPU platform
+    assert make_fused_apply(m, "interpret") is not None
+    assert make_fused_apply(m, "off") is None
