@@ -45,15 +45,13 @@ class AmortizedTriangularSylvester(nn.Module):
         if self.is_initializing():
             outs = {name: dense(feats, name)(h) for name, feats in heads}
         else:
-            # Fan-out fusion: the four heads share input h, so one
-            # (h_size, sum_feats) matmul replaces four MXU-lane-padded
-            # small-N matmuls and three extra HBM reads of h.  Params are
-            # the SAME tensors (read from the module scope, concatenated
-            # at apply time) — pytree/checkpoints/init unchanged; math is
-            # column-identical.
-            p = self.variables["params"]
-            kcat = jnp.concatenate([p[n]["kernel"] for n, _ in heads], axis=1)
-            bcat = jnp.concatenate([p[n]["bias"] for n, _ in heads], axis=0)
+            # fan-out fusion (utils.init.fanout_concat): one matmul for
+            # the four heads sharing input h; math column-identical
+            from cfnerf_tpu.utils.init import fanout_concat
+
+            kcat, bcat = fanout_concat(
+                self.variables["params"], [n for n, _ in heads]
+            )
             y = jnp.dot(h.astype(jnp.float32), kcat) + bcat
             outs, off = {}, 0
             for name, feats in heads:

@@ -38,15 +38,22 @@ def build_model(args) -> Tuple[NeRFFlows, RenderConfig]:
         # the pltpu kernel would crash on GPU/CPU backends — XLA elsewhere
         flow_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    # 'NeRF_Flows' is the spelling the reference launch scripts pass
+    model_name = (getattr(args, "model", None) or "nerf_flows").lower()
+
     fused_render = getattr(args, "fused_render", "auto")
     if fused_render == "auto":
         # whole flow+composite as one Pallas kernel (render_core.py):
-        # TPU-only, triangular flows only (make_fused_apply gates the
-        # family; the renderer gates shapes/noise at trace time)
-        fused_render = "on" if jax.default_backend() == "tpu" else "off"
-
-    # 'NeRF_Flows' is the spelling the reference launch scripts pass
-    model_name = (getattr(args, "model", None) or "nerf_flows").lower()
+        # TPU-only, triangular NeRFFlows only (an explicit on/interpret
+        # for another family raises in make_fused_apply; the renderer
+        # gates shapes/noise at trace time)
+        fused_render = (
+            "on"
+            if (jax.default_backend() == "tpu"
+                and model_name == "nerf_flows"
+                and args.type_flows == "triangular")
+            else "off"
+        )
 
     def _mk(depth, width):
         if model_name != "nerf_flows":

@@ -75,6 +75,17 @@ def make_fused_apply(model, mode: str):
     if mode == "off":
         return None
     if not isinstance(model, NeRFFlows) or model.type_flows != "triangular":
+        if mode in ("on", "interpret"):
+            # explicit request on an unsupported family: same policy as
+            # trunk_impl / type_flows — never silently ignore an explicit
+            # implementation choice (the factory's 'auto' only resolves to
+            # 'on' for triangular NeRFFlows, so auto never lands here)
+            raise ValueError(
+                f"--fused_render={mode} requires the triangular NeRFFlows "
+                f"model (got {type(model).__name__} with type_flows="
+                f"{getattr(model, 'type_flows', None)!r}); use "
+                "--fused_render=off or auto"
+            )
         return None
     if mode == "on" and jax.default_backend() != "tpu":
         # fail at build time with a clear message instead of a Mosaic
@@ -233,20 +244,17 @@ class NeRFFlows(nn.Module):
                 h_alpha = self.h_alpha_linear(h)
                 feature = self.feature_linear(h)
             else:
-                # fan-out fusion: feature_linear and h_alpha_linear share
-                # input h — one (W, W + h_alpha_size) matmul instead of two
-                # reads of the (B, W) activation; params unchanged (read
-                # from scope, concatenated at apply time)
-                p = self.variables["params"]
-                kcat = jnp.concatenate(
-                    [p["feature_linear"]["kernel"],
-                     p["h_alpha_linear"]["kernel"]], axis=1,
-                ).astype(self.compute_dtype)
-                bcat = jnp.concatenate(
-                    [p["feature_linear"]["bias"],
-                     p["h_alpha_linear"]["bias"]], axis=0,
-                ).astype(self.compute_dtype)
-                y = jnp.dot(h, kcat) + bcat
+                # fan-out fusion (utils.init.fanout_concat): one matmul
+                # for the two heads sharing the trunk activation h
+                from cfnerf_tpu.utils.init import fanout_concat
+
+                kcat, bcat = fanout_concat(
+                    self.variables["params"],
+                    ["feature_linear", "h_alpha_linear"],
+                )
+                y = jnp.dot(h, kcat.astype(self.compute_dtype)) + bcat.astype(
+                    self.compute_dtype
+                )
                 feature = y[:, : self.net_width]
                 h_alpha = y[:, self.net_width:]
             hv = nn.relu(self.views_linear((feature, input_views)))
@@ -269,6 +277,41 @@ class NeRFFlows(nn.Module):
         eps_a = eps_a.at[-1].set(0.0)
         eps_r = eps_r.at[-1].set(0.0)
         return eps_a, eps_r
+
+    def _draw_eps(self, is_test, rng, eps):
+        """The shared-K base-draw selection used by BOTH forward paths
+        (__call__ and forward_composited): injected eps (test mode still
+        zeroes the last draw = mean sample, models.py:199,205), fixed test
+        buffers, or fresh shared-K training draws (models.py:234,246)."""
+        if eps is not None:
+            eps_a, eps_r = eps
+            if is_test:
+                eps_a = eps_a.at[-1].set(0.0)
+                eps_r = eps_r.at[-1].set(0.0)
+            return eps_a, eps_r
+        if is_test:
+            return self._test_eps()
+        if rng is None:
+            raise ValueError("training forward requires an rng key")
+        ka, kr = jax.random.split(rng)
+        eps_a = jax.random.normal(ka, (self.k_samples, Z_ALPHA))
+        eps_r = jax.random.normal(kr, (self.k_samples, Z_RGB))
+        return eps_a, eps_r
+
+    def _base_log_density_mean(self, z0_a, z0_r):
+        """Elementwise base log-density means (no -0.5 log 2pi;
+        models.py:268,283) on the UNEXPANDED (K, Z) draws — eps is shared
+        across points, so this equals the reference's mean over the
+        B-expanded tensor.  Shared by both forward paths."""
+        base_a = -0.5 * (
+            2.0 * jnp.log(self.alpha_std)
+            + (z0_a - self.alpha_mean) ** 2 / self.alpha_std ** 2
+        )
+        base_r = -0.5 * (
+            2.0 * jnp.log(self.rgb_std)
+            + (z0_r - self.rgb_mean) ** 2 / self.rgb_std ** 2
+        )
+        return base_a.mean(), base_r.mean()
 
     def _apply_flows(self, z0, h, which: str, compute_log_det: bool):
         """Push (B, K, Z) latents through the amortized flow stack."""
@@ -336,20 +379,7 @@ class NeRFFlows(nn.Module):
         B = h_alpha.shape[0]
         K = self.k_samples
 
-        if eps is not None:
-            eps_a, eps_r = eps
-            if is_test:
-                eps_a = eps_a.at[-1].set(0.0)
-                eps_r = eps_r.at[-1].set(0.0)
-        elif is_test:
-            eps_a, eps_r = self._test_eps()
-        else:
-            if rng is None:
-                raise ValueError("training forward requires an rng key")
-            ka, kr = jax.random.split(rng)
-            # Shared across all points in the batch (models.py:234,246).
-            eps_a = jax.random.normal(ka, (K, Z_ALPHA))
-            eps_r = jax.random.normal(kr, (K, Z_RGB))
+        eps_a, eps_r = self._draw_eps(is_test, rng, eps)
 
         # Reparameterized base draws, broadcast over points: (B, K, Z).
         alpha0 = eps_a[None] * self.alpha_std + self.alpha_mean
@@ -372,23 +402,12 @@ class NeRFFlows(nn.Module):
         ldj_alpha = ldj_alpha + (z_alpha - jax.nn.softplus(z_alpha)).sum(-1)
         ldj_rgb = ldj_rgb + (z_rgb - 2.0 * jax.nn.softplus(z_rgb)).sum(-1)
 
-        # Base log-density, elementwise (no -0.5 log 2pi; models.py:268,283).
-        # The reference evaluates this on the B-expanded tensor, but eps is
-        # shared across points so every row is identical — computing it on
-        # the unexpanded (K, Z) draw gives the same .mean() for free.
         z0_a = eps_a * self.alpha_std + self.alpha_mean  # (K, Z_ALPHA)
         z0_r = eps_r * self.rgb_std + self.rgb_mean
-        base_a = -0.5 * (
-            2.0 * jnp.log(self.alpha_std)
-            + (z0_a - self.alpha_mean) ** 2 / self.alpha_std ** 2
-        )
-        base_r = -0.5 * (
-            2.0 * jnp.log(self.rgb_std)
-            + (z0_r - self.rgb_mean) ** 2 / self.rgb_std ** 2
-        )
+        base_a_mean, base_r_mean = self._base_log_density_mean(z0_a, z0_r)
 
         loss_entropy = (
-            base_a.mean() - ldj_alpha.mean() + base_r.mean() - ldj_rgb.mean()
+            base_a_mean - ldj_alpha.mean() + base_r_mean - ldj_rgb.mean()
         )
         return raw, loss_entropy
 
@@ -429,19 +448,7 @@ class NeRFFlows(nn.Module):
         B = h_alpha.shape[0]
         K = self.k_samples
 
-        if eps is not None:
-            eps_a, eps_r = eps
-            if is_test:
-                eps_a = eps_a.at[-1].set(0.0)
-                eps_r = eps_r.at[-1].set(0.0)
-        elif is_test:
-            eps_a, eps_r = self._test_eps()
-        else:
-            if rng is None:
-                raise ValueError("training forward requires an rng key")
-            ka, kr = jax.random.split(rng)
-            eps_a = jax.random.normal(ka, (K, Z_ALPHA))
-            eps_r = jax.random.normal(kr, (K, Z_RGB))
+        eps_a, eps_r = self._draw_eps(is_test, rng, eps)
 
         # Shared-K base draws, NOT expanded over points (models.py:234,246
         # semantics; the kernel broadcasts in VMEM).
@@ -462,18 +469,11 @@ class NeRFFlows(nn.Module):
         # Entropy (models.py:265-286): same normalizations as __call__ —
         # base terms elementwise-mean over (K, Z); ldj terms mean over
         # (B, K) (the kernel returns per-ray sums over K and s).
-        base_a = -0.5 * (
-            2.0 * jnp.log(self.alpha_std)
-            + (z0_a - self.alpha_mean) ** 2 / self.alpha_std ** 2
-        )
-        base_r = -0.5 * (
-            2.0 * jnp.log(self.rgb_std)
-            + (z0_r - self.rgb_mean) ** 2 / self.rgb_std ** 2
-        )
+        base_a_mean, base_r_mean = self._base_log_density_mean(z0_a, z0_r)
         denom = B * K
         loss_entropy = (
-            base_a.mean() - ldj_ray[0].sum() / denom
-            + base_r.mean() - ldj_ray[1].sum() / denom
+            base_a_mean - ldj_ray[0].sum() / denom
+            + base_r_mean - ldj_ray[1].sum() / denom
         )
         return rgb_map, depth, acc, loss_entropy
 

@@ -48,6 +48,21 @@ def composite_weights(alpha: jnp.ndarray) -> jnp.ndarray:
     return alpha * trans
 
 
+def finalize_k_maps(
+    rgb_map: jnp.ndarray, depth_map: jnp.ndarray, acc_map: jnp.ndarray,
+    white_bkgd: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Disparity + white-background blend on (R, [3,] K) composite outputs
+    (reference :446-452).  Shared by raw2outputs and the fused Pallas
+    render path so the epsilon constants live in exactly one place."""
+    disp_map = 1.0 / jnp.maximum(
+        2e-10, depth_map / (acc_map + 1e-10) + 1e-10
+    )
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[:, None, :])
+    return rgb_map, disp_map
+
+
 def raw2outputs(
     raw: jnp.ndarray,
     z_vals: jnp.ndarray,
@@ -96,11 +111,6 @@ def raw2outputs(
 
     depth_map = jnp.sum(weights * z_vals[..., None], axis=-2)  # (R, K)
     acc_map = jnp.sum(weights, axis=-2)  # (R, K)
-    disp_map = 1.0 / jnp.maximum(
-        2e-10, depth_map / (acc_map + 1e-10) + 1e-10
-    )
-
-    if white_bkgd:
-        rgb_map = rgb_map + (1.0 - acc_map[:, None, :])
+    rgb_map, disp_map = finalize_k_maps(rgb_map, depth_map, acc_map, white_bkgd)
 
     return rgb_map, disp_map, acc_map, weights, depth_map

@@ -57,10 +57,12 @@ B_TILE = 512
 Z_A, Z_R = 1, 3
 
 
-def supported(B: int, s_per_ray: int, k_samples: int) -> bool:
+def supported(B: int, s_per_ray: int) -> bool:
     """Shapes the kernel handles; callers fall back to the XLA path
     otherwise.  Requires whole 128-lane output blocks (R % 128) and whole
-    rays per tile."""
+    rays per tile.  Deliberately K-independent — the kernel tiles only B
+    and S, and the renderer's gate must stay EXACTLY this predicate (a
+    divergence turns a silent fallback into a trace-time error)."""
     S = s_per_ray
     if S < 2 or B_TILE % S or B % B_TILE:
         return False
@@ -68,7 +70,7 @@ def supported(B: int, s_per_ray: int, k_samples: int) -> bool:
     if 128 % rt:
         return False
     R = B // S
-    return R % 128 == 0 and k_samples >= 1
+    return R % 128 == 0
 
 
 def _scan_steps(S: int):
@@ -500,7 +502,12 @@ def _fwd_impl(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
     K = z0_a.shape[0]
     F = r1_a.shape[-1]
     S = s_per_ray
-    assert supported(B, S, K), (B, S, K)
+    if not supported(B, S):
+        # a real error, not an assert: python -O must not strip the guard
+        raise ValueError(
+            f"fused_flow_composite: unsupported shape B={B}, S={S} "
+            "(callers must gate on render_core.supported)"
+        )
     R = B // S
     RT = B_TILE // S
     TPB = 128 // RT

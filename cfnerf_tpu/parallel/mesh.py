@@ -93,11 +93,12 @@ def shard_params_tp(mesh: Mesh, params: Any) -> Any:
 
     def place(path, x):
         names = [getattr(p, "key", str(p)) for p in path]
-        module = names[0] if names else ""
         leaf = names[-1] if names else ""
-        wide = (
-            module.startswith("pts_linear")
-            or module in ("feature_linear", "views_linear")
+        # match the wide modules at ANY depth: hierarchical param trees
+        # nest them under "coarse"/"fine" (factory.create_nerf)
+        wide = any(
+            n.startswith("pts_linear") or n in ("feature_linear", "views_linear")
+            for n in names[:-1]
         )
         if wide and x.ndim >= 1:
             sh = width_kernel if leaf == "kernel" else width_bias

@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cfnerf_tpu.ops.compositing import LAST_DIST, raw2outputs
+from cfnerf_tpu.ops.compositing import LAST_DIST, finalize_k_maps, raw2outputs
 from cfnerf_tpu.ops.embed import Embedder
 from cfnerf_tpu.ops.rays import get_rays, ndc_rays
 from cfnerf_tpu.ops.sampling import sample_pdf, sample_z_vals, stratified_perturb
@@ -143,7 +143,7 @@ def make_render_rays(
             model_apply_fused is not None
             and config.n_importance == 0
             and not (config.apply_noise and config.raw_noise_std > 0)
-            and _fused_ok(R * S, S, 1)
+            and _fused_ok(R * S, S)
         ):
             emb = _embed(z_vals, rays_o, rays_d, viewdirs)
             dists = z_vals[..., 1:] - z_vals[..., :-1]
@@ -158,12 +158,9 @@ def make_render_rays(
                 is_test=is_test, rng=rng_eps,
             )
             # disp + white background in XLA on the (R, K) kernel outputs
-            # — same math as raw2outputs (reference :446-452)
-            disp_map = 1.0 / jnp.maximum(
-                2e-10, depth_map / (acc_map + 1e-10) + 1e-10
+            rgb_map, disp_map = finalize_k_maps(
+                rgb_map, depth_map, acc_map, config.white_bkgd
             )
-            if config.white_bkgd:
-                rgb_map = rgb_map + (1.0 - acc_map[:, None, :])
             return dict(
                 rgb_map=rgb_map, disp_map=disp_map, depth_map=depth_map,
                 acc_map=acc_map, loss_entropy=loss_entropy,

@@ -72,8 +72,12 @@ def parse_k_schedule(spec: str):
     stages.sort()
     if stages[0][0] != 0:
         raise ValueError("--k_schedule must define a stage starting at step 0")
-    if any(k <= 0 for _, k in stages):
-        raise ValueError("--k_schedule K values must be positive")
+    if any(k < 2 for _, k in stages):
+        # K=1 degenerates the KDE loss: std over one sample (ddof=1) is
+        # NaN and the n/(n-1) bandwidth factor divides by zero — the run
+        # would silently train on NaN from the first stage step
+        raise ValueError("--k_schedule K values must be >= 2 (KDE needs "
+                         "multiple samples for its bandwidth)")
     return stages
 
 
@@ -414,7 +418,11 @@ def train(args) -> None:
             rng, krng = jax.random.split(rng)
             step_fn, loop_fn = train_step, (train_loop_fn if n_inner > 1 else None)
             if k_stages is not None:
-                step_fn, loop_fn = _stage_builders(k_for_step(k_stages, i))
+                # the upcoming dispatch trains steps i+1 .. i+n_inner, so
+                # the stage is selected by the FIRST step it will train
+                # (with n_inner > 1 a boundary inside the block rounds up
+                # to the next block — one K per dispatch)
+                step_fn, loop_fn = _stage_builders(k_for_step(k_stages, i + 1))
             if n_inner == 1:
                 i, batch = prefetcher.next()
                 params, opt_state, metrics = step_fn(params, opt_state, batch, krng)

@@ -32,6 +32,19 @@ def torch_uniform_init(fan_in: int):
     return init
 
 
+def fanout_concat(params, names):
+    """Fan-out fusion: concatenate the kernels/biases of sibling
+    TorchDense heads that share one input, so a single matmul replaces N
+    MXU-lane-padded small-N matmuls and N-1 extra reads of the shared
+    activation.  `params` is the PARENT module's param dict (read from
+    scope at apply time — the tensors are the same objects, so pytree,
+    checkpoints, and init are unchanged); call sites slice the fused
+    output columns back apart in `names` order."""
+    kcat = jnp.concatenate([params[n]["kernel"] for n in names], axis=1)
+    bcat = jnp.concatenate([params[n]["bias"] for n in names], axis=0)
+    return kcat, bcat
+
+
 class TorchDense(nn.Module):
     """``nn.Dense`` with torch.nn.Linear's exact default init for both
     kernel and bias (fan_in known at trace time from the input shape).

@@ -34,6 +34,10 @@ def test_parse_k_schedule_rejects_bad_specs():
         parse_k_schedule("abc")
     with pytest.raises(ValueError):
         parse_k_schedule("0:0")  # non-positive K
+    with pytest.raises(ValueError):
+        # K=1 silently NaNs the KDE loss (std over one sample, ddof=1,
+        # times n/(n-1) = 1/0) — must be rejected at parse time
+        parse_k_schedule("1:0,8:1000")
 
 
 @pytest.mark.parametrize("n_inner", ["1", "4"])

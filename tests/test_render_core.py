@@ -201,10 +201,10 @@ def test_extreme_values_finite():
 
 
 def test_supported_gate():
-    assert supported(128 * 128, 128, 32)       # flagship eval tile
-    assert supported(640 * 128, 128, 32)       # reference train batch
-    assert not supported(100 * 128, 128, 32)   # R % 128 != 0
-    assert not supported(128 * 96, 96, 32)     # B_TILE % S != 0
+    assert supported(128 * 128, 128)       # flagship eval tile
+    assert supported(640 * 128, 128)       # reference train batch
+    assert not supported(100 * 128, 128)   # R % 128 != 0
+    assert not supported(128 * 96, 96)     # B_TILE % S != 0
 
 
 # ------------------------------------------------------------------ #
@@ -307,4 +307,17 @@ def test_fused_on_requires_tpu():
     with pytest.raises(ValueError, match="requires a TPU backend"):
         make_fused_apply(m, "on")  # tests run on the CPU platform
     assert make_fused_apply(m, "interpret") is not None
+    assert make_fused_apply(m, "off") is None
+
+
+def test_fused_explicit_requires_triangular():
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows as _M, make_fused_apply
+
+    m = _M(net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+           skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+           type_flows="planar")
+    with pytest.raises(ValueError, match="triangular"):
+        make_fused_apply(m, "interpret")
+    # 'off' stays silent (the factory's 'auto' resolves to 'off' for
+    # unsupported families, so auto never reaches the raise)
     assert make_fused_apply(m, "off") is None

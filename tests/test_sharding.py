@@ -164,6 +164,29 @@ def test_tp_matches_single_device(fused):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_tp_places_hierarchical_trees():
+    """shard_params_tp must find the wide modules at ANY depth: the
+    hierarchical (N_importance > 0) param tree nests them under
+    coarse/fine — a top-level-only match silently replicates everything
+    while --model_parallel still halves the data axis."""
+    from cfnerf_tpu.parallel.mesh import shard_params_tp
+
+    mesh = create_mesh(8, model_parallel=2)
+    model = NeRFFlows(
+        net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+        skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True
+    )["params"]
+    tree = {"coarse": params, "fine": params}
+    placed = shard_params_tp(mesh, tree)
+    for branch in ("coarse", "fine"):
+        k = placed[branch]["pts_linear_0"]["kernel"]
+        shard_cols = {s.data.shape[1] for s in k.addressable_shards}
+        assert shard_cols == {k.shape[1] // 2}, branch
+
+
 def test_batch_actually_sharded():
     mesh = create_mesh(8)
     b = shard_batch(mesh, _batch(64))
