@@ -57,10 +57,19 @@ def eval_ensemble(args, n_members: int) -> dict:
 
     # per-member renders
     member_renders: List[dict] = []
+    member_steps: List[int] = []
     start = 0
     for m in range(1, n_members + 1):
         margs = _member_args(args, m)
         model, model_fine, render_config, params, start = create_nerf(margs)
+        if start == 0:
+            # a member without a checkpoint would mix FRESH RANDOM params
+            # into the ensemble and silently poison every aggregate metric
+            raise FileNotFoundError(
+                f"ensemble member {m:02d}: no checkpoint found under the "
+                f"run dir for expname={margs.expname!r} — train all "
+                f"members first (cli.ensemble train)"
+            )
 
         def model_apply(p, x, *, is_test, rng, _model=model):
             return _model.apply({"params": p}, x, is_test=is_test, rng=rng)
@@ -87,7 +96,12 @@ def eval_ensemble(args, n_members: int) -> dict:
             )
             renders[view] = np.asarray(out["rgb_map"])  # (H, W, 3, K)
         member_renders.append(renders)
+        member_steps.append(start)
         print(f"member {m}: rendered {len(renders)} views @ step {start}")
+
+    if len(set(member_steps)) > 1:
+        print(f"WARNING: ensemble members restored at different steps "
+              f"{member_steps}; the output dir is tagged with the last one")
 
     # aggregate: mixture over members -> (H, W, 3, M*K)
     rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)

@@ -193,23 +193,33 @@ def load_llff_data(
     return imgs.astype(np.float32), poses.astype(np.float32), bds, render_poses, i_test
 
 
-def _colmap_poses(images) -> np.ndarray:
-    poses = []
+def _colmap_poses(images):
+    """Camera-to-world poses KEYED BY IMAGE ID.  COLMAP serializes
+    images.bin from an unordered map, so file order need not match id
+    order — positional pairing (which the reference's get_poses /
+    poses[id_im-1] assumes, load_llff.py:383,397) silently computes each
+    image's keypoint depths against another camera when it doesn't."""
+    poses = {}
     for i in images:
         R = images[i].qvec2rotmat()
         t = images[i].tvec.reshape([3, 1])
         bottom = np.array([0, 0, 0, 1.0]).reshape([1, 4])
         w2c = np.concatenate([np.concatenate([R, t], 1), bottom], 0)
-        poses.append(np.linalg.inv(w2c))
-    return np.array(poses)
+        poses[i] = np.linalg.inv(w2c)
+    return poses
 
 
 def load_colmap_depth(basedir, factor=8, bd_factor=0.75, cache=True):
     """Per-train-image sparse depths from COLMAP keypoints, with
     reprojection-error-based confidence weights.
 
-    Returns a list of dicts {"depth": (M,), "coord": (M, 2), "weight": (M,)}
-    for each image with at least one valid keypoint.
+    Returns a DENSE list of dicts {"depth": (M,), "coord": (M, 2),
+    "weight": (M,)} — one entry per image in id order, with M == 0 when an
+    image has no valid keypoint.  (The reference compacts empty images
+    away, load_llff.py:415-417, but its train loop indexes the result with
+    GLOBAL image indices (:888-912) — a silent pose/depth misalignment
+    whenever any image is empty.  Dense return keeps global indexing
+    valid; precompute_depth_rays skips the empty entries.)
     """
     basedir = Path(basedir)
     images = read_images_binary(basedir / "sparse" / "0" / "images.bin")
@@ -226,12 +236,13 @@ def load_colmap_depth(basedir, factor=8, bd_factor=0.75, cache=True):
     data_list = []
     for idx, id_im in enumerate(sorted(images.keys())):
         im = images[id_im]
+        pose = poses[id_im]  # id-keyed: immune to images.bin file order
         depth_list, coord_list, weight_list = [], [], []
         for xy, id_3d in zip(im.xys, im.point3D_ids):
             if id_3d == -1:
                 continue
             pt = points[id_3d].xyz
-            depth = (poses[idx, :3, 2].T @ (pt - poses[idx, :3, 3])) * sc
+            depth = (pose[:3, 2].T @ (pt - pose[:3, 3])) * sc
             if depth < bds_raw[idx, 0] * sc or depth > bds_raw[idx, 1] * sc:
                 continue
             err = points[id_3d].error
@@ -239,14 +250,13 @@ def load_colmap_depth(basedir, factor=8, bd_factor=0.75, cache=True):
             depth_list.append(depth)
             coord_list.append(xy / factor)
             weight_list.append(weight)
-        if depth_list:
-            data_list.append(
-                {
-                    "depth": np.array(depth_list),
-                    "coord": np.array(coord_list),
-                    "weight": np.array(weight_list),
-                }
-            )
+        data_list.append(
+            {
+                "depth": np.array(depth_list),
+                "coord": np.array(coord_list).reshape(-1, 2),
+                "weight": np.array(weight_list),
+            }
+        )
     if cache:
         np.save(basedir / "colmap_depth.npy", np.array(data_list, dtype=object), allow_pickle=True)
     return data_list

@@ -95,6 +95,11 @@ def precompute_depth_rays(
         if i >= len(depth_gts):
             continue
         gt = depth_gts[i]
+        if gt["depth"].size == 0:
+            # load_colmap_depth returns a DENSE per-image list so this
+            # global index stays aligned with poses; empty images (no
+            # valid keypoints) simply contribute no depth rays
+            continue
         rd = np.stack(
             get_rays_by_coord_np(H, W, focal, poses[i, :3, :4], gt["coord"]), 0
         )  # (2, M, 3)
@@ -126,19 +131,30 @@ class RayBatcher:
         self.i = 0
         self.epoch = 0
         self._rng = np.random.RandomState(seed + 12345)
+        # Epoch reshuffles permute an INDEX array, never self.data: an
+        # in-place data shuffle would mutate batches already handed out as
+        # views (the scan trainer stacks several before uploading).  Fancy
+        # indexing below also makes every returned batch an owned copy.
+        # Shuffling a same-length index array with the same rng draws the
+        # same permutation, so batch sequences are unchanged.
+        self._order = np.arange(rays_rgb.shape[0])
 
     def next(self) -> Dict[str, np.ndarray]:
-        b = self.data[self.i : self.i + self.batch_size]
-        if b.shape[0] < self.batch_size:
+        idx = self._order[self.i : self.i + self.batch_size]
+        if idx.shape[0] < self.batch_size:
             # epoch boundary: reshuffle and restart (take a full fresh batch,
             # matching the reference's post-increment wraparound semantics)
-            self._rng.shuffle(self.data)
+            self._rng.shuffle(self._order)
             self.i = 0
             self.epoch += 1
-            b = self.data[: self.batch_size]
+            idx = self._order[: self.batch_size]
+        # materialize BEFORE the post-increment reshuffle: idx is a view
+        # of _order and the shuffle would mutate it (caught by
+        # tests/test_data.py epoch-coverage check)
+        b = self.data[idx]
         self.i += self.batch_size
         if self.i >= self.data.shape[0]:
-            self._rng.shuffle(self.data)
+            self._rng.shuffle(self._order)
             self.i = 0
             self.epoch += 1
         return {"rays_o": b[:, 0], "rays_d": b[:, 1], "target": b[:, 2]}
@@ -218,16 +234,18 @@ class DepthRayBatcher:
         self.batch_size = batch_size
         self.i = 0
         self._rng = np.random.RandomState(seed + 54321)
+        self._order = np.arange(rays_depth.shape[0])  # see RayBatcher
 
     def next(self) -> Dict[str, np.ndarray]:
-        b = self.data[self.i : self.i + self.batch_size]
-        if b.shape[0] < self.batch_size:
-            self._rng.shuffle(self.data)
+        idx = self._order[self.i : self.i + self.batch_size]
+        if idx.shape[0] < self.batch_size:
+            self._rng.shuffle(self._order)
             self.i = 0
-            b = self.data[: self.batch_size]
+            idx = self._order[: self.batch_size]
+        b = self.data[idx]  # materialize before the post-increment shuffle
         self.i += self.batch_size
         if self.i >= self.data.shape[0]:
-            self._rng.shuffle(self.data)
+            self._rng.shuffle(self._order)
             self.i = 0
         return {
             "depth_rays_o": b[:, 0],

@@ -338,7 +338,14 @@ def train(args) -> None:
                 f"--K_samples={args.K_samples}; eval/test renders use "
                 f"K={args.K_samples}"
             )
-        _stage_cache = {}
+        # seed the cache with the already-built base builders so the
+        # final (K == K_samples) stage reuses them instead of recompiling
+        _stage_cache = {
+            args.K_samples: (
+                train_step,
+                None,  # filled below once the scan trainer exists
+            )
+        }
 
         def _stage_builders(k):
             """(train_step, train_loop) compiled for K=k.  K is not a
@@ -375,6 +382,12 @@ def train(args) -> None:
             model, render_config, tc, mesh=mesh, n_inner=n_inner,
             model_fine=model_fine,
         )
+    if k_stages is not None:
+        # complete the seeded base-K cache entry now that the (optional)
+        # scan trainer exists
+        _stage_cache[args.K_samples] = (
+            train_step, train_loop_fn if n_inner > 1 else None
+        )
 
     def _sample_batch(step):
         batch = train_batcher.next(step) if not use_batching else train_batcher.next()
@@ -384,9 +397,10 @@ def train(args) -> None:
         return batch
 
     def _device_batch(step):
-        return shard_batch(
-            mesh, {k: jnp.asarray(v) for k, v in _sample_batch(step).items()}
-        )
+        # numpy goes straight to device_put with the target sharding
+        # (shard_batch) — a jnp.asarray hop would upload to device 0
+        # first and then rescatter across the mesh
+        return shard_batch(mesh, _sample_batch(step))
 
     def _crossed(prev, cur, cadence):
         return cadence > 0 and (prev // cadence) != (cur // cadence)
@@ -408,9 +422,11 @@ def train(args) -> None:
                 if prof_state == 0 and i >= start + args.profile_start:
                     jax.profiler.start_trace(profile_dir)
                     prof_state = 1
+                    prof_open[0] = True
                 elif prof_state == 1 and i >= start + args.profile_start + args.profile_steps:
                     jax.profiler.stop_trace()
                     prof_state = 2
+                    prof_open[0] = False
                     print(f"profiler trace written to {profile_dir}")
 
             t0 = time.time()
@@ -429,10 +445,9 @@ def train(args) -> None:
             else:
                 samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
                 stacked = {
-                    k: jnp.asarray(np.stack([s[k] for s in samples]))
-                    for k in samples[0]
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
-                stacked = shard_stacked_batch(mesh, stacked)
+                stacked = shard_stacked_batch(mesh, stacked)  # one upload
                 i += n_inner
                 params, opt_state, metrics = loop_fn(params, opt_state, stacked, krng)
                 metrics = {k: v[-1] for k, v in metrics.items()}  # last inner step
@@ -497,6 +512,8 @@ def train(args) -> None:
                 _save_video(disps / (np.max(disps) + 1e-8), moviebase + "disp.mp4")
 
 
+    prof_open = [False]  # _run_loop marks an un-stopped profiler trace
+
     try:
         _run_loop(params, opt_state, rng, img_log_idx)
     finally:
@@ -505,5 +522,10 @@ def train(args) -> None:
         # caller has moved on (tests, ensemble drivers, REPLs)
         if prefetcher is not None:
             prefetcher.close()
+        if prof_open[0]:
+            # training ended (or raised) inside the profile window: close
+            # the trace so it is actually written
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
         logger.close()
     print("Training complete.")

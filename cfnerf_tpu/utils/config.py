@@ -89,7 +89,11 @@ class ConfigArgumentParser(argparse.ArgumentParser):
 
 def config_parser() -> ConfigArgumentParser:
     """The full reference flag surface (run_nerf_uncertainty_NF.py:556-719)."""
-    parser = ConfigArgumentParser()
+    # allow_abbrev=False: with prefix abbreviation, an explicitly passed
+    # abbreviated flag (--lrate_d 500) is missed by the explicit-dest scan
+    # and a config-file value would silently override it, inverting the
+    # documented defaults < config < CLI precedence
+    parser = ConfigArgumentParser(allow_abbrev=False)
     parser.add_config_argument("--config")
     parser.add_argument("--expname", type=str, help="experiment name")
     parser.add_argument("--dataname", type=str, default="leaves", help="data name")

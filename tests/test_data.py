@@ -109,3 +109,37 @@ def test_depth_ray_batcher():
     assert batch["depth_rays_o"].shape == (5, 3)
     assert batch["target_depth"].shape == (5,)
     assert batch["ray_weights"].shape == (5,)
+
+
+def test_ray_batcher_returned_batches_are_stable():
+    """Epoch-boundary reshuffles must never mutate batches already handed
+    out: the scan trainer stacks several next() results before uploading,
+    and the old in-place data shuffle corrupted them (and the epoch-final
+    batch) whenever the boundary fell inside the block."""
+    import numpy as np
+
+    from cfnerf_tpu.data.sampler import DepthRayBatcher, RayBatcher
+
+    rng = np.random.RandomState(0)
+    data = rng.randn(16, 3, 3).astype(np.float32)  # 4 batches of 4/epoch
+    b = RayBatcher(data.copy(), 4, seed=0)
+    batches = [b.next() for _ in range(6)]  # crosses the epoch boundary
+    snapshot = [{k: v.copy() for k, v in s.items()} for s in batches]
+    _ = [b.next() for _ in range(6)]  # more boundary crossings
+    for got, want in zip(batches, snapshot):
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    # every epoch covers every ray exactly once (index-permutation epochs)
+    first_epoch = np.concatenate(
+        [np.concatenate([s["rays_o"], s["rays_d"], s["target"]], -1)
+         for s in snapshot[:4]])
+    all_rows = data.reshape(16, 9)
+    assert {tuple(r) for r in first_epoch} == {tuple(r) for r in all_rows}
+
+    d = DepthRayBatcher(rng.randn(8, 4, 3).astype(np.float32), 4, seed=0)
+    dd = [d.next() for _ in range(3)]
+    snap = [{k: v.copy() for k, v in s.items()} for s in dd]
+    _ = [d.next() for _ in range(3)]
+    for got, want in zip(dd, snap):
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
