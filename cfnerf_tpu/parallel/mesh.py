@@ -96,8 +96,15 @@ def shard_params_tp(mesh: Mesh, params: Any) -> Any:
         leaf = names[-1] if names else ""
         # match the wide modules at ANY depth: hierarchical param trees
         # nest them under "coarse"/"fine" (factory.create_nerf)
+        # h_alpha/h_rgb are included so the encode fan-out fusion
+        # (models/nerf_flows.py encode: fanout_concat of feature_linear +
+        # h_alpha_linear) concatenates two kernels sharded the same way on
+        # the output axis instead of forcing GSPMD to reshard the fused
+        # matmul every step (ADVICE r01)
         wide = any(
-            n.startswith("pts_linear") or n in ("feature_linear", "views_linear")
+            n.startswith("pts_linear")
+            or n in ("feature_linear", "views_linear",
+                     "h_alpha_linear", "h_rgb_linear")
             for n in names[:-1]
         )
         if wide and x.ndim >= 1:

@@ -70,6 +70,15 @@ def parse_k_schedule(spec: str):
                 "items, e.g. '8:0,16:2000,32:5000'"
             )
     stages.sort()
+    starts = [s for s, _ in stages]
+    if len(set(starts)) != len(starts):
+        # tuple-sort would silently let the larger K win, so a typo'd
+        # schedule (e.g. '8:0,16:0') would train at an unintended K
+        dup = sorted({s for s in starts if starts.count(s) > 1})
+        raise ValueError(
+            f"--k_schedule has duplicate start_step value(s) {dup}; each "
+            "stage must begin at a distinct step"
+        )
     if stages[0][0] != 0:
         raise ValueError("--k_schedule must define a stage starting at step 0")
     if any(k < 2 for _, k in stages):

@@ -226,7 +226,9 @@ def config_parser() -> ConfigArgumentParser:
                              "Pallas kernel (ops/pallas/render_core.py); "
                              "auto = on for triangular flows on TPU, off "
                              "elsewhere; falls back per-batch when shapes "
-                             "are unsupported")
+                             "are unsupported, and always when density "
+                             "noise is active (--raw_noise_std > 0) — the "
+                             "kernel does not model the noise draw")
     parser.add_argument("--trunk_impl", type=str, default="xla",
                         choices=["xla", "pallas", "interpret"],
                         help="trunk MLP implementation; the fused Pallas "

@@ -38,6 +38,8 @@ def test_parse_k_schedule_rejects_bad_specs():
         # K=1 silently NaNs the KDE loss (std over one sample, ddof=1,
         # times n/(n-1) = 1/0) — must be rejected at parse time
         parse_k_schedule("1:0,8:1000")
+    with pytest.raises(ValueError, match="duplicate start_step"):
+        parse_k_schedule("8:0,16:0")  # typo'd duplicate start step
 
 
 @pytest.mark.parametrize("n_inner", ["1", "4"])

@@ -164,6 +164,53 @@ def test_tp_matches_single_device(fused):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_tp_matches_single_device_fanout_branch():
+    """TP parity through the encode fan-out fusion (ADVICE r01): with
+    depth >= 3 and the skip NOT at the last trunk layer, `h` reaches the
+    heads as a plain array, so encode takes the fanout_concat branch
+    (feature_linear + h_alpha_linear fused into one matmul) — which under
+    --model_parallel concatenates two width-sharded kernels.  Numbers must
+    match single-device execution."""
+    from cfnerf_tpu.parallel.mesh import shard_params_tp
+
+    def setup(mesh):
+        model = NeRFFlows(
+            net_depth=3, net_width=32, input_ch=63, input_ch_views=27,
+            skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+        )
+        rc = RenderConfig(n_samples=16)
+        tc = TrainConfig(H=8, W=8, focal=10.0, ndc=False, near=0.5, far=4.0,
+                         k_samples=4, beta1=0.01)
+        step, tx = make_train_step(model, rc, tc, mesh=mesh)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True
+        )["params"]
+        return step, tx, params
+
+    batch = _batch(R=64)
+    key = jax.random.PRNGKey(7)
+
+    mesh = create_mesh(8, model_parallel=2)
+    step_tp, tx_tp, params = setup(mesh)
+    p_tp = shard_params_tp(mesh, params)
+    # both fan-out heads are split over the model axis, matching
+    # feature_linear, so the fused concat needs no resharding
+    for name in ("feature_linear", "h_alpha_linear"):
+        k = p_tp[name]["kernel"]
+        shard_cols = {s.data.shape[1] for s in k.addressable_shards}
+        assert shard_cols == {k.shape[1] // 2}, name
+    p_out, _, m_tp = step_tp(p_tp, tx_tp.init(p_tp), shard_batch(mesh, batch), key)
+
+    step1, tx1, _ = setup(None)
+    p1_out, _, m1 = step1(params, tx1.init(params), batch, key)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_out),
+                    jax.tree_util.tree_leaves(p1_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_tp_places_hierarchical_trees():
     """shard_params_tp must find the wide modules at ANY depth: the
     hierarchical (N_importance > 0) param tree nests them under
