@@ -154,11 +154,13 @@ def train_reference(batches, poses, images, i_val, steps, log_every, seed=0):
             print(f"[ref ] step {step:4d} loss {float(loss):+.4f} "
                   f"psnr {losses[-1]['psnr']:.2f}")
 
-    # held-out eval (test mode: fixed eps, no jitter)
+    # held-out eval (test mode: fixed eps, no jitter) — K-sample images fed
+    # through the SAME metric path as ours (VERDICT r01 task 2: the
+    # reference-side NLL/AUSE anchor must share one implementation)
     from cfnerf_tpu.ops.rays import get_rays_np
 
     with torch.no_grad():
-        val_psnrs = []
+        rgb_ks, gts = [], []
         for vi in i_val:
             ro, rd = get_rays_np(H, W, FOCAL, poses[vi])
             ro = ro.reshape(-1, 3).astype(np.float32)
@@ -175,25 +177,44 @@ def train_reference(batches, poses, images, i_val, steps, log_every, seed=0):
                     uniformsample=False, K_samples=K, perturb=0.0,
                 )
                 outs.append(ret["rgb_map"])
-            rgb = torch.cat(outs, 0).mean(-1).numpy().reshape(H, W, 3)
-            mse = float(((rgb - images[vi]) ** 2).mean())
-            val_psnrs.append(-10 * np.log10(mse))
-    return losses, float(np.mean(val_psnrs))
+            rgb_ks.append(torch.cat(outs, 0).numpy().reshape(H, W, 3, K))
+            gts.append(images[vi])
+    psnr, nll, au = shared_val_metrics(rgb_ks, gts)
+    return losses, psnr, nll, au
+
+
+def shared_val_metrics(rgb_ks, gts):
+    """One metric path for BOTH frameworks: held-out PSNR (of the K-mean
+    image), per-pixel KDE NLL (cli.eval.kde_nll_per_pixel — the reference's
+    own bandwidth rule, run_nerf_uncertainty_NF.py:1031-1042), and AUSE of
+    the std-over-K variance vs squared error (run_nerf_helpers.py:382-438).
+    rgb_ks: list of (H, W, 3, K) arrays; gts: list of (H, W, 3)."""
+    from cfnerf_tpu.cli.eval import kde_nll_per_pixel
+    from cfnerf_tpu.ops.metrics import ause, std_over_k
+
+    psnrs, nlls, auses = [], [], []
+    for rgb_k, gt in zip(rgb_ks, gts):
+        k = rgb_k.shape[-1]
+        mse = float(((rgb_k.mean(-1) - gt) ** 2).mean())
+        psnrs.append(-10 * np.log10(mse))
+        nlls.append(float(kde_nll_per_pixel(rgb_k, gt, k).mean()))
+        err = ((rgb_k.mean(-1) - gt) ** 2).mean(-1).reshape(-1)
+        var = (std_over_k(rgb_k) ** 2).mean(-1).reshape(-1)
+        auses.append(ause(var, err))
+    return float(np.mean(psnrs)), float(np.mean(nlls)), float(np.mean(auses))
 
 
 # --------------------------------------------------------------------- #
 # cfnerf_tpu trainer (CPU, same batches)
 # --------------------------------------------------------------------- #
 
-def train_ours(batches, poses, images, i_val, steps, log_every):
+def train_ours(batches, poses, images, i_val, steps, log_every, seed=0):
     import jax
     import jax.numpy as jnp
 
     from cfnerf_tpu.models.nerf_flows import NeRFFlows
     from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays, render_image
     from cfnerf_tpu.train.step import TrainConfig, make_train_step
-    from cfnerf_tpu.cli.eval import kde_nll_per_pixel
-    from cfnerf_tpu.ops.metrics import ause, std_over_k
 
     model = NeRFFlows(
         net_depth=DEPTH, net_width=WIDTH, input_ch=63, input_ch_views=27,
@@ -205,9 +226,11 @@ def train_ours(batches, poses, images, i_val, steps, log_every):
     tc = TrainConfig(H=H, W=W, focal=FOCAL, ndc=False, near=NEAR, far=FAR,
                      k_samples=K, lrate=LR, beta1=BETA1)
     step_fn, tx = make_train_step(model, rc, tc)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True)["params"]
+    params = model.init(
+        jax.random.PRNGKey(1000 + seed), jnp.zeros((2, 90)), is_test=True
+    )["params"]
     opt_state = tx.init(params)
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.PRNGKey(2000 + seed)
 
     losses = []
     for step, (ro, rd, target) in enumerate(batches[:steps]):
@@ -226,21 +249,15 @@ def train_ours(batches, poses, images, i_val, steps, log_every):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)
 
     rr = make_render_rays(model_apply, rc)
-    val_psnrs, val_nlls, val_auses = [], [], []
+    rgb_ks, gts = [], []
     for vi in i_val:
         out = render_image(rr, params, jnp.asarray(poses[vi]), H=H, W=W,
                            focal=FOCAL, ndc=False, use_viewdirs=True,
                            near=NEAR, far=FAR, tile=1024)
-        rgb_k = np.asarray(out["rgb_map"])
-        gt = images[vi]
-        mse = float(((rgb_k.mean(-1) - gt) ** 2).mean())
-        val_psnrs.append(-10 * np.log10(mse))
-        val_nlls.append(float(kde_nll_per_pixel(rgb_k, gt, K).mean()))
-        err = ((rgb_k.mean(-1) - gt) ** 2).mean(-1).reshape(-1)
-        var = (std_over_k(rgb_k) ** 2).mean(-1).reshape(-1)
-        val_auses.append(ause(var, err))
-    return (losses, float(np.mean(val_psnrs)), float(np.mean(val_nlls)),
-            float(np.mean(val_auses)))
+        rgb_ks.append(np.asarray(out["rgb_map"]))
+        gts.append(images[vi])
+    psnr, nll, au = shared_val_metrics(rgb_ks, gts)
+    return losses, psnr, nll, au
 
 
 def main():
@@ -249,6 +266,12 @@ def main():
     ap.add_argument("--lr", type=float, default=None,
                     help="override the shared lr (default: module LR)")
     ap.add_argument("--ref_seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="number of seeds PER SIDE (ref_seed..ref_seed+n-1);"
+                         " each seed re-seeds init, train RNG, and the "
+                         "matched batch shuffle for BOTH frameworks, so the"
+                         " summary carries seed-to-seed error bars "
+                         "(VERDICT r01 task 2)")
     ap.add_argument("--scene", choices=["spheres", "blob"], default="spheres",
                     help="spheres: bistable surface scene (trajectory "
                          "parity); blob: robustly-learnable volumetric "
@@ -280,42 +303,88 @@ def main():
         i_train, i_val = np.arange(n - 1), np.arange(n - 1, n)
     else:
         poses, images, i_train, i_val = make_scene()
-    batches = precompute_batches(poses, images, i_train, args.steps)
 
-    ours_traj, ours_psnr, ours_nll, ours_ause, t_ours = [], None, None, None, 0
-    if not args.skip_ours:
-        t0 = time.time()
-        ours_traj, ours_psnr, ours_nll, ours_ause = train_ours(
-            batches, poses, images, i_val, args.steps, args.log_every
-        )
-        t_ours = time.time() - t0
-    t0 = time.time()
-    ref_traj, ref_psnr = train_reference(
-        batches, poses, images, i_val, args.steps, args.log_every,
-        seed=args.ref_seed,
-    )
-    t_ref = time.time() - t0
-
+    seeds = list(range(args.ref_seed, args.ref_seed + args.seeds))
+    per_seed = []
     result = {
-        "experiment": f"synthetic {args.scene} scene, matched ray batches, CPU",
+        "experiment": f"synthetic {args.scene} scene, matched ray batches, "
+                      f"{args.seeds} seed(s) per side, CPU; PSNR/NLL/AUSE "
+                      "computed through ONE shared metric path "
+                      "(shared_val_metrics) for both frameworks",
         "config": dict(H=H, W=W, n_train=N_TRAIN, n_val=N_VAL, depth=DEPTH,
                        width=WIDTH, n_samples=N_SAMPLES, k_samples=K,
                        n_flows=N_FLOWS, h_size=H_SIZE, lr=LR, beta1=BETA1,
-                       batch=BATCH, steps=args.steps, ref_seed=args.ref_seed,
+                       batch=BATCH, steps=args.steps, seeds=seeds,
                        scene=args.scene),
-        "ours": {"val_psnr": ours_psnr, "val_nll": ours_nll,
-                 "val_ause": ours_ause, "trajectory": ours_traj,
-                 "wall_s": round(t_ours, 1)},
-        "reference": {"val_psnr": ref_psnr, "trajectory": ref_traj,
-                      "wall_s": round(t_ref, 1)},
-        "psnr_delta_db": round(ours_psnr - ref_psnr, 3) if ours_psnr is not None else None,
+        "per_seed": per_seed,
     }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps({k: v for k, v in result.items()
-                      if k not in ("ours", "reference")}
-                     | {"ours_psnr": ours_psnr, "ref_psnr": ref_psnr,
-                        "ours_nll": ours_nll, "ours_ause": ours_ause}))
+
+    def flush():
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+    for seed in seeds:
+        batches = precompute_batches(poses, images, i_train, args.steps,
+                                     seed=seed)
+        entry = {"seed": seed}
+        if not args.skip_ours:
+            t0 = time.time()
+            traj, psnr, nll, au = train_ours(
+                batches, poses, images, i_val, args.steps, args.log_every,
+                seed=seed,
+            )
+            entry["ours"] = {"val_psnr": psnr, "val_nll": nll,
+                             "val_ause": au, "trajectory": traj,
+                             "wall_s": round(time.time() - t0, 1)}
+            per_seed.append(entry)
+            flush()
+        t0 = time.time()
+        traj, psnr, nll, au = train_reference(
+            batches, poses, images, i_val, args.steps, args.log_every,
+            seed=seed,
+        )
+        entry["reference"] = {"val_psnr": psnr, "val_nll": nll,
+                              "val_ause": au, "trajectory": traj,
+                              "wall_s": round(time.time() - t0, 1)}
+        if entry not in per_seed:
+            per_seed.append(entry)
+        flush()
+        print(f"[seed {seed}] done: "
+              + json.dumps({k: {m: round(v, 3) for m, v in entry[k].items()
+                                if m.startswith('val_')}
+                            for k in ("ours", "reference") if k in entry}))
+
+    def stats(side, metric):
+        vals = [e[side][f"val_{metric}"] for e in per_seed if side in e]
+        return (float(np.mean(vals)), float(np.std(vals)), vals) if vals else (None, None, [])
+
+    summary = {}
+    for metric in ("psnr", "nll", "ause"):
+        om, os_, ov = stats("ours", metric)
+        rm, rs, rv = stats("reference", metric)
+        summary[metric] = {
+            "ours_mean": om, "ours_std": os_, "ours_values": ov,
+            "ref_mean": rm, "ref_std": rs, "ref_values": rv,
+            "delta_mean": None if om is None or rm is None else round(om - rm, 4),
+        }
+    if summary["psnr"]["delta_mean"] is not None:
+        # BASELINE.md targets: PSNR within 0.1 dB (or ahead), NLL parity
+        # (or better; parity band = pooled seed spread, floored at 0.1 nat),
+        # judged on seed means
+        d_psnr = summary["psnr"]["delta_mean"]
+        d_nll = summary["nll"]["delta_mean"]
+        pooled = max(0.1, float(np.hypot(summary["nll"]["ours_std"] or 0.0,
+                                         summary["nll"]["ref_std"] or 0.0)))
+        summary["baseline_call"] = {
+            "psnr_pass": bool(d_psnr >= -0.1),
+            "psnr_criterion": "ours_mean >= ref_mean - 0.1 dB",
+            "nll_pass": bool(d_nll <= pooled),
+            "nll_criterion": f"ours_mean <= ref_mean + pooled seed spread ({pooled:.3f} nats)",
+            "ause_delta": summary["ause"]["delta_mean"],
+        }
+    result["summary"] = summary
+    flush()
+    print(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":
