@@ -62,6 +62,64 @@ def test_llff_minify(tmp_path):
     assert poses[0, 0, 4] == 8 and poses[0, 1, 4] == 8
 
 
+def test_minify_matches_imagemagick_golden(tmp_path):
+    """Resampler divergence, measured (VERDICT r01 task 6): the reference
+    downsamples with an ImageMagick subprocess (load_llff.py:12-61) whose
+    pixels feed the loss directly; our in-process Pillow-Lanczos _minify
+    must be pixel-close.  The checked-in goldens were produced by a
+    clean-room NumPy implementation of ImageMagick's resize algorithm
+    (tests/minify_golden.py: Lanczos-3, separable, edge renormalization,
+    Q16 intermediates) on a checked-in photo-like fixture."""
+    import os
+
+    import imageio.v2 as imageio
+
+    from tests.minify_golden import (
+        imagemagick_resize,
+        photo_like_test_image,
+    )
+
+    here = os.path.join(os.path.dirname(__file__), "fixtures")
+    src = imageio.imread(os.path.join(here, "minify_src.png"))
+
+    # (a) fixture + golden provenance are pinned: regenerating from the
+    # deterministic generator reproduces the checked-in files exactly
+    np.testing.assert_array_equal(src, photo_like_test_image())
+    for f in (2, 4):
+        golden = imageio.imread(os.path.join(here, f"minify_golden_f{f}.png"))
+        regen = imagemagick_resize(src, 96 // f, 128 // f)
+        np.testing.assert_array_equal(golden, regen)
+
+    # (b) the production path (_minify factor + resolution modes) is within
+    # 1 LSB of the ImageMagick-algorithm golden everywhere (measured max=1)
+    scene = tmp_path / "scene"
+    (scene / "images").mkdir(parents=True)
+    imageio.imwrite(str(scene / "images" / "img.png"), src)
+    _minify(str(scene), factors=[2, 4], resolutions=[(24, 32)])
+    for f in (2, 4):
+        golden = imageio.imread(os.path.join(here, f"minify_golden_f{f}.png"))
+        ours = imageio.imread(str(scene / f"images_{f}" / "img.png"))
+        diff = np.abs(ours.astype(np.int32) - golden.astype(np.int32))
+        assert diff.max() <= 1, f"factor {f}: max LSB diff {diff.max()}"
+        assert diff.mean() < 0.25, f"factor {f}: mean LSB diff {diff.mean()}"
+        # loss-level impact: MSE between the two resamplers' [0,1] images
+        # is ~2e-6 (-57 dB) — orders of magnitude below any training signal
+        mse = (((ours.astype(np.float64) - golden) / 255.0) ** 2).mean()
+        assert mse < 1e-5, f"factor {f}: loss-scale mse {mse}"
+    ours_res = imageio.imread(str(scene / "images_32x24" / "img.png"))
+    golden4 = imageio.imread(os.path.join(here, "minify_golden_f4.png"))
+    assert np.abs(ours_res.astype(np.int32) - golden4.astype(np.int32)).max() <= 1
+
+    # (c) ImageMagick's pass-order heuristic is image-dependent; even
+    # against the OTHER pass order (vertical-first) the divergence stays
+    # bounded at a few LSB confined to ringing edges (measured max 9,
+    # 99%+ of pixels within 1 LSB)
+    alt = imagemagick_resize(src, 24, 32, horizontal_first=False)
+    ours4 = imageio.imread(str(scene / "images_4" / "img.png"))
+    d = np.abs(ours4.astype(np.int32) - alt.astype(np.int32))
+    assert d.max() <= 12 and (d > 1).mean() < 0.02
+
+
 def test_lf_scene_splits():
     i_train, i_val, i_vi = lf_scene_splits("africa", 20)
     assert i_train == [5, 7, 9, 11, 13]
