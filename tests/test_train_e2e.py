@@ -86,6 +86,58 @@ def test_llff_train_smoke(tmp_path):
     assert os.path.exists(mfile)
 
 
+@pytest.mark.slow
+def test_minicapture_real_style_e2e(tmp_path):
+    """The real-capture path end-to-end on the checked-in miniature
+    LLFF+COLMAP fixture (VERDICT r01 task 3): minify (factor 2 Lanczos
+    cache) -> NDC rays -> COLMAP sparse-depth supervision -> training ->
+    spiral render path, driven through configs/minicapture_ds.txt exactly
+    as a user would run configs/fern.txt / africa_ds.txt on real data."""
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(repo, "tests", "fixtures", "minicapture")
+    datadir = str(tmp_path / "minicapture")
+    shutil.copytree(fixture, datadir)
+    basedir = str(tmp_path / "logs")
+
+    overrides = [
+        "--config", os.path.join(repo, "configs", "minicapture_ds.txt"),
+        "--datadir", datadir, "--basedir", basedir, "--expname", "mini",
+        # tiny-capacity overrides (CLI wins over the config file)
+        "--N_rand", "32", "--N_samples", "16", "--K_samples", "4",
+        "--n_flows", "2", "--h_alpha_size", "8", "--h_rgb_size", "8",
+        "--netdepth", "2", "--netwidth", "32", "--raw_noise_std", "0",
+        "--n_iters", "30", "--i_print", "10", "--i_weights", "30",
+        "--i_img", "0", "--chunk", "128",
+    ]
+    args = parse_args(overrides + ["--is_train"])
+    assert not args.no_ndc and args.colmap_depth and args.factor == 2
+    train(args)
+
+    # minify cache was created on demand inside the capture dir
+    assert os.path.isdir(os.path.join(datadir, "images_2"))
+
+    rundir = os.path.join(basedir, "minicapture", "triangular", "mini")
+    mfile = os.path.join(basedir, "minicapture", "summaries", "mini",
+                         "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mfile)]
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
+    # depth supervision is active: the depth loss term is logged and finite
+    assert any("train/depth_loss" in r for r in recs)
+
+    # spiral path render on the trained weights (render_poses from
+    # load_llff_data), exercising the NDC eval path
+    args2 = parse_args(overrides + ["--render_factor", "4"])
+    args2.is_train = False
+    args2.render_only = True
+    train(args2)
+    outdirs = glob.glob(os.path.join(rundir, "renderonly_path_*"))
+    assert outdirs, os.listdir(rundir)
+    assert glob.glob(os.path.join(outdirs[0], "*.png"))
+
+
 def test_i_testset_export(tmp_path):
     """--i_testset renders the held-out set to testset_{step:06d}/
     (implemented intended behavior; the reference's path crashes)."""
