@@ -30,8 +30,8 @@ def _setup(mesh):
     return step, tx, params
 
 
-def _batch(R=64):
-    rng = np.random.RandomState(0)
+def _batch(R=64, seed=0):
+    rng = np.random.RandomState(seed)
     return {
         "rays_o": jnp.asarray(rng.randn(R, 3).astype(np.float32)),
         "rays_d": jnp.asarray(
@@ -232,6 +232,74 @@ def test_tp_places_hierarchical_trees():
         k = placed[branch]["pts_linear_0"]["kernel"]
         shard_cols = {s.data.shape[1] for s in k.addressable_shards}
         assert shard_cols == {k.shape[1] // 2}, branch
+
+
+@pytest.mark.slow
+def test_dp_trajectory_ksched_ckpt_matches_single_device(tmp_path):
+    """Multi-STEP equivalence (VERDICT r01 task 5): a 6-step trajectory —
+    crossing a --k_schedule stage boundary (K=4 -> K=8 at step 3, a fresh
+    jit per stage exactly like train/loop.py) with an Orbax checkpoint
+    save/restore UNDER THE MESH at the boundary — must track single-device
+    execution within float tolerance, params and metrics both."""
+    from cfnerf_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    def run(n_dev, rundir):
+        mesh = create_mesh(n_dev)
+
+        def stage(k):
+            model = NeRFFlows(
+                net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+                skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2,
+                k_samples=k,
+            )
+            rc = RenderConfig(n_samples=16)
+            tc = TrainConfig(H=8, W=8, focal=10.0, ndc=False, near=0.5,
+                             far=4.0, k_samples=k, beta1=0.01)
+            step, tx = make_train_step(model, rc, tc, mesh=mesh)
+            return model, step, tx
+
+        model4, step4, tx4 = stage(4)
+        params = model4.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True
+        )["params"]
+        params = replicate(mesh, params)
+        opt_state = tx4.init(params)
+        base = jax.random.PRNGKey(11)
+        losses = []
+        for s in range(3):
+            b = shard_batch(mesh, _batch(R=64, seed=s))
+            params, opt_state, m = step4(
+                params, opt_state, b, jax.random.fold_in(base, s)
+            )
+            losses.append(float(m["loss"]))
+
+        # checkpoint under the mesh at the stage boundary, restore, and
+        # re-init opt state (exactly the trainer's resume semantics —
+        # optimizer state intentionally not restored, reference :360-361)
+        path = save_checkpoint(rundir, 3, params, opt_state)
+        model8, step8, tx8 = stage(8)
+        fresh = model8.init(
+            jax.random.PRNGKey(5), jnp.zeros((2, 90)), is_test=True
+        )["params"]
+        restored, start = restore_checkpoint(path, fresh)
+        assert start == 3
+        params = replicate(mesh, jax.tree_util.tree_map(jnp.asarray, restored))
+        opt_state = tx8.init(params)
+        for s in range(3, 6):
+            b = shard_batch(mesh, _batch(R=64, seed=s))
+            params, opt_state, m = step8(
+                params, opt_state, b, jax.random.fold_in(base, s)
+            )
+            losses.append(float(m["loss"]))
+        return params, losses
+
+    p8, l8 = run(8, str(tmp_path / "ck8"))
+    p1, l1 = run(1, str(tmp_path / "ck1"))
+
+    np.testing.assert_allclose(l8, l1, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p8), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
 
 
 def test_batch_actually_sharded():
