@@ -81,6 +81,41 @@ class NeRF(nn.Module):
         return out.astype(jnp.float32)
 
 
+def load_weights_from_keras(params, weights, *, depth: int = 8):
+    """Import an original TF-NeRF (Keras) checkpoint into a use_viewdirs
+    NeRF param pytree (parity with NeRF.load_weights_from_keras,
+    /root/reference/run_nerf_helpers.py:136-163).
+
+    `weights` is the flat [w0, b0, w1, b1, ...] array list saved by the
+    original bmild/nerf release, ordered: D trunk layers, feature_linear,
+    views_linear, rgb_linear, alpha_linear.  Keras kernels are (in, out);
+    the torch reference transposes them to (out, in) — flax kernels are
+    already (in, out), so they load untransposed.  Returns a NEW pytree
+    (params is not mutated); shapes are validated against the target."""
+    import numpy as np
+
+    # device_get tree_maps into fresh containers, so in-place edits below
+    # never mutate the caller's pytree
+    params = jax.device_get(params)
+
+    def put(module, w, b):
+        kern, bias = np.asarray(w, np.float32), np.asarray(b, np.float32)
+        tgt = module["kernel"]
+        if kern.shape != tgt.shape:
+            raise ValueError(
+                f"keras kernel shape {kern.shape} != target {tgt.shape}"
+            )
+        module["kernel"], module["bias"] = kern, bias
+
+    for i in range(depth):
+        put(params["trunk"][f"pts_linear_{i}"], weights[2 * i], weights[2 * i + 1])
+    put(params["feature_linear"], weights[2 * depth], weights[2 * depth + 1])
+    put(params["views_linear"], weights[2 * depth + 2], weights[2 * depth + 3])
+    put(params["rgb_linear"], weights[2 * depth + 4], weights[2 * depth + 5])
+    put(params["alpha_linear"], weights[2 * depth + 6], weights[2 * depth + 7])
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
 class NeRFDropout(nn.Module):
     """MC-dropout uncertainty baseline (dropout 0.2 on alternate trunk
     layers and before each head)."""

@@ -63,6 +63,25 @@ def get_ray_directions(H: int, W: int, K: np.ndarray) -> np.ndarray:
     return np.stack([(i - cx) / fx, -(j - cy) / fy, -np.ones_like(i)], -1)
 
 
+def get_rays_phototourism(
+    directions: np.ndarray, c2w: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """World-space rays from precomputed camera-space `directions` (from
+    get_ray_directions) and a 3x4 c2w — the per-image-intrinsics rig used
+    by phototourism-style captures (/root/reference/run_nerf_helpers.py:
+    324-347; dead there — no phototourism loader exists in the snapshot).
+
+    Unlike get_rays, the returned directions are UNIT-NORM and both outputs
+    are flattened to (H*W, 3), matching the reference contract."""
+    rays_d = directions @ c2w[:, :3].T
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = np.broadcast_to(c2w[:, 3], rays_d.shape)
+    return (
+        rays_o.reshape(-1, 3).astype(np.float32),
+        rays_d.reshape(-1, 3).astype(np.float32),
+    )
+
+
 def ndc_rays(
     H: int, W: int, focal: float, near: float, rays_o: jnp.ndarray, rays_d: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
