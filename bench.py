@@ -54,7 +54,9 @@ PEAK_TFLOPS = {
 
 def matmul_flops_per_point() -> float:
     """Matmul FLOPs (2*m*n per row) of one model forward for one 3D point,
-    one K handled separately (flow stack is elementwise, not matmul)."""
+    one K handled separately (flow stack is elementwise, not matmul).
+    K-independent: the trunk+heads dominate and are computed once per
+    point regardless of the Monte-Carlo draw count."""
     mm = lambda fi, fo: 2.0 * fi * fo
     f = mm(INPUT_CH, W)
     skips = (D // 2,)
@@ -70,10 +72,10 @@ def matmul_flops_per_point() -> float:
     return f
 
 
-def flops_per_ray(train: bool) -> float:
+def flops_per_ray(train: bool, n_samples: int = N_SAMPLES) -> float:
     per_point = matmul_flops_per_point()
     mult = 3.0 if train else 1.0  # bwd ~= 2x fwd matmul FLOPs
-    return per_point * N_SAMPLES * mult
+    return per_point * n_samples * mult
 
 
 def peak_tflops() -> float:
@@ -86,7 +88,8 @@ def peak_tflops() -> float:
     return 197.0  # assume v5e-class if unknown
 
 
-def _build(compute_dtype="bfloat16", remat=True, fused=None):
+def _build(compute_dtype="bfloat16", remat=True, fused=None,
+           n_samples=N_SAMPLES, k_samples=K_SAMPLES):
     import jax
     import jax.numpy as jnp
 
@@ -100,16 +103,16 @@ def _build(compute_dtype="bfloat16", remat=True, fused=None):
     model = NeRFFlows(
         net_depth=D, net_width=W, input_ch=INPUT_CH, input_ch_views=INPUT_CH_VIEWS,
         skips=(D // 2,), h_alpha_size=H_SIZE, h_rgb_size=H_SIZE, n_flows=N_FLOWS,
-        k_samples=K_SAMPLES, use_viewdirs=True, type_flows="triangular",
+        k_samples=k_samples, use_viewdirs=True, type_flows="triangular",
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
         flow_impl="pallas" if on_tpu else "xla",
     )
     rc = RenderConfig(
-        n_samples=N_SAMPLES, perturb=True, use_viewdirs=True, fused=fused
+        n_samples=n_samples, perturb=True, use_viewdirs=True, fused=fused
     )
     tc = TrainConfig(
         H=512, W=512, focal=500.0, ndc=False, near=0.5, far=4.0,
-        k_samples=K_SAMPLES, beta1=0.01, remat=remat,
+        k_samples=k_samples, beta1=0.01, remat=remat,
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((2, 90), jnp.float32), is_test=True
@@ -129,13 +132,15 @@ def _ray_batch(R, rng):
 
 
 def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
-                remat: bool = False) -> float:
+                remat: bool = False, n_samples: int = N_SAMPLES,
+                k_samples: int = K_SAMPLES) -> float:
     import jax
     import jax.numpy as jnp
 
     from cfnerf_tpu.train.step import make_train_loop
 
-    model, rc, tc, params = _build(remat=remat)
+    model, rc, tc, params = _build(remat=remat, n_samples=n_samples,
+                                   k_samples=k_samples)
     train_loop, tx = make_train_loop(model, rc, tc, mesh=None, n_inner=n_inner)
     opt_state = tx.init(params)
 
@@ -160,7 +165,9 @@ def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
     return best
 
 
-def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10) -> float:
+def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10,
+                    n_samples: int = N_SAMPLES,
+                    k_samples: int = K_SAMPLES) -> float:
     """Test-mode K-sample render throughput (fixed eps, no grad)."""
     import jax
     import jax.numpy as jnp
@@ -168,7 +175,7 @@ def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10) -> fl
     from cfnerf_tpu.models.nerf_flows import make_fused_apply
     from cfnerf_tpu.render.renderer import make_render_rays
 
-    model, rc, tc, params = _build()
+    model, rc, tc, params = _build(n_samples=n_samples, k_samples=k_samples)
 
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)

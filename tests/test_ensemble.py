@@ -2,12 +2,15 @@
 import json
 import os
 
+import pytest
+
 from tests.datagen import make_blender_dataset
 
 from cfnerf_tpu.cli.ensemble import eval_ensemble, train_ensemble
 from cfnerf_tpu.utils.config import config_parser
 
 
+@pytest.mark.slow
 def test_ensemble_train_and_eval(tmp_path):
     datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8, n_val=1)
     basedir = str(tmp_path / "logs")
@@ -37,6 +40,7 @@ def test_ensemble_train_and_eval(tmp_path):
     assert len(summary["views"]) == 1
     # mixture has M*K = 8 samples; metrics finite
     import numpy as np
+
     for key in ("psnr", "ssim", "nll", "ause"):
         assert np.isfinite(summary[key])
     outdirs = [d for d in os.listdir(rundir) if d.startswith("eval_ensemble2")]

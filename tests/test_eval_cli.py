@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 from tests.datagen import make_blender_dataset
 
 from cfnerf_tpu.cli.eval import evaluate
@@ -26,6 +28,7 @@ def _args(datadir, basedir, extra=()):
     )
 
 
+@pytest.mark.slow
 def test_eval_cli(tmp_path):
     datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8, n_val=2)
     basedir = str(tmp_path / "logs")

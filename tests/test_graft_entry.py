@@ -14,6 +14,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_devices(capsys):
     import __graft_entry__ as ge
 
@@ -22,6 +23,7 @@ def test_dryrun_multichip_8_devices(capsys):
     assert "8-device mesh OK" in out
 
 
+@pytest.mark.slow
 def test_dryrun_never_touches_non_cpu_backend():
     """After dryrun, the default backend must be cpu (the dryrun forces the
     platform itself; under the test harness it's already cpu)."""

@@ -3,6 +3,7 @@ the reference declares via flags but never implemented (SURVEY.md sec. 2)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cfnerf_tpu.models.nerf_flows import NeRFFlows
 from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays
@@ -62,6 +63,7 @@ def test_fine_pass_shapes_and_coarse_extras():
     np.testing.assert_allclose(np.asarray(o1["rgb_map"]), np.asarray(o2["rgb_map"]))
 
 
+@pytest.mark.slow
 def test_hierarchical_train_step():
     model, model_fine, rc, params = _setup()
     tc = TrainConfig(

@@ -42,6 +42,7 @@ def test_parse_k_schedule_rejects_bad_specs():
         parse_k_schedule("8:0,16:0")  # typo'd duplicate start step
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_inner", ["1", "4"])
 def test_train_with_k_schedule(tmp_path, n_inner):
     datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)

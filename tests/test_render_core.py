@@ -111,6 +111,7 @@ def test_forward_test_mode():
     assert float(jnp.abs(out[3]).max()) == 0.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("saturate", [False, True])
 def test_grad_parity(saturate):
     args, z_vals, rays_d = _inputs(seed=1, saturate=saturate)
@@ -264,6 +265,7 @@ def test_renderer_end_to_end(is_test):
     assert "weights" not in b  # fused path does not materialize weights
 
 
+@pytest.mark.slow
 def test_renderer_end_to_end_param_grads():
     params, rr_plain, rr_fused = _tiny_model_and_renderers()
     rays = _ray_batch()

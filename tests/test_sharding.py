@@ -4,6 +4,7 @@ all-reduce is inserted by jit — SURVEY.md section 5.8)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cfnerf_tpu.models.nerf_flows import NeRFFlows
 from cfnerf_tpu.parallel.mesh import (
@@ -50,6 +51,7 @@ def test_mesh_shapes():
     assert mesh3.shape[DATA_AXIS] == 4 and mesh3.shape["model"] == 2
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     batch = _batch()
     key = jax.random.PRNGKey(7)
@@ -75,6 +77,7 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_fused():
     """The fused flow+composite Pallas render core (interpret mode) under
     the 8-device DP mesh: GSPMD must still produce single-device numbers
@@ -114,9 +117,7 @@ def test_dp_matches_single_device_fused():
                                    rtol=2e-5, atol=2e-6)
 
 
-import pytest
-
-
+@pytest.mark.slow
 @pytest.mark.parametrize("fused", ["off", "interpret"])
 def test_tp_matches_single_device(fused):
     """2-D (data=4, model=2) mesh with the trunk width tensor-parallel
@@ -164,6 +165,7 @@ def test_tp_matches_single_device(fused):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_tp_matches_single_device_fanout_branch():
     """TP parity through the encode fan-out fusion (ADVICE r01): with
     depth >= 3 and the skip NOT at the last trunk layer, `h` reaches the

@@ -31,6 +31,7 @@ def _base_args(datadir, basedir, extra=()):
     )
 
 
+@pytest.mark.slow
 def test_blender_train_ckpt_resume_render(tmp_path):
     datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
     basedir = str(tmp_path / "logs")
@@ -138,6 +139,7 @@ def test_minicapture_real_style_e2e(tmp_path):
     assert glob.glob(os.path.join(outdirs[0], "*.png"))
 
 
+@pytest.mark.slow
 def test_i_testset_export(tmp_path):
     """--i_testset renders the held-out set to testset_{step:06d}/
     (implemented intended behavior; the reference's path crashes)."""
@@ -163,6 +165,7 @@ def test_baseline_model_cli(tmp_path):
     assert recs and all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
 
 
+@pytest.mark.slow
 def test_scan_trainer_n_inner(tmp_path):
     """--n_inner > 1: device-resident scan over inner steps, cadences on
     crossing detection."""
@@ -179,6 +182,7 @@ def test_scan_trainer_n_inner(tmp_path):
     assert recs and all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
 
 
+@pytest.mark.slow
 def test_i_video_spiral_export(tmp_path):
     """--i_video renders the spiral path and writes rgb/disp videos (PNG
     frames when no ffmpeg); the reference's path crashes (undefined var)."""
@@ -192,6 +196,7 @@ def test_i_video_spiral_export(tmp_path):
     assert outputs, os.listdir(rundir)
 
 
+@pytest.mark.slow
 def test_profiler_trace_export(tmp_path):
     """--profile_dir writes a jax.profiler trace for the configured step
     window (the tracing state machine lives in the refactored loop closure)."""
@@ -209,6 +214,7 @@ def test_profiler_trace_export(tmp_path):
     assert traces, f"no trace written under {profdir}"
 
 
+@pytest.mark.slow
 def test_blender_train_model_parallel(tmp_path):
     """--model_parallel 2: the CLI train loop on a 2-D (4 data x 2 model)
     mesh with the trunk width tensor-parallel (shard_params_tp)."""
