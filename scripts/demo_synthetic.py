@@ -121,6 +121,11 @@ def main():
                          " K is not a parameter axis, so a K16-trained "
                          "model evaluates at K32 unchanged")
     ap.add_argument("--n_inner", type=int, default=10)
+    ap.add_argument("--fused_render", default="auto",
+                    help="passthrough ('auto'|'on'|'off'|'interpret') — "
+                         "'off' forces the XLA render path for kernel A/Bs")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="passthrough RNG seed (seed-variance studies)")
     args_demo = ap.parse_args()
 
     if args_demo.cpu:
@@ -158,6 +163,8 @@ def main():
         "--i_img", "0", "--chunk", "4096",
         "--compute_dtype", "bfloat16",
         "--N_importance", str(args_demo.N_importance),
+        "--fused_render", args_demo.fused_render,
+        "--seed", str(args_demo.seed),
     ]
     if args_demo.k_schedule:
         flags += ["--k_schedule", args_demo.k_schedule]
