@@ -243,10 +243,35 @@ def main():
     ]
     infer_best, infer_cfg = _sweep(bench_inference, infer_combos, "infer")
 
+    # operating point (EVAL_r04: N_samples=48 + K-schedule — the best
+    # quality-per-wall config in the r04 screen) — raw ray throughput
+    # at N=48; the quality evidence incl. seed spread lives in EVAL_r04.json
+    op_train_combos = [
+        dict(batch_size=4096, remat=False, n_inner=20, n_samples=48),
+        dict(batch_size=8192, remat=False, n_samples=48),
+        dict(batch_size=16384, remat=False, n_samples=48),
+    ]
+    op_train_best, op_train_cfg = _sweep(bench_train, op_train_combos, "op_train")
+    op_infer_best, op_infer_cfg = _sweep(
+        bench_inference,
+        [dict(batch_size=32768, n_samples=48), dict(batch_size=65536, n_samples=48)],
+        "op_infer",
+    )
+
     peak = peak_tflops() * 1e12
     train_mfu = train_best * flops_per_ray(train=True) / peak
     infer_mfu = infer_best * flops_per_ray(train=False) / peak
     baseline = 1_000_000.0  # north-star rays/sec/chip (BASELINE.json)
+
+    operating_point = {
+        "n_samples": 48,
+        "train_rays_per_sec": round(op_train_best, 1),
+        "train_mfu": round(op_train_best * flops_per_ray(True, 48) / peak, 4),
+        "inference_rays_per_sec": round(op_infer_best, 1),
+        "inference_mfu": round(op_infer_best * flops_per_ray(False, 48) / peak, 4),
+        "config": f"train={op_train_cfg} infer={op_infer_cfg}",
+        "quality_evidence": "EVAL_r04.json (N48 screen + seed spread)",
+    }
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -262,6 +287,7 @@ def main():
             f"D8 W512 N128 K32 flows4 bf16 "
             f"train={train_cfg} infer={infer_cfg}"
         ),
+        "operating_point": operating_point,
         "note": (
             "1M rays/s north-star is ~9x above the matmul-FLOP ceiling at "
             "this config on v5e; see module docstring for the FLOP model"

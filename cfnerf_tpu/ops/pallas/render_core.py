@@ -53,21 +53,42 @@ from jax.experimental.pallas import tpu as pltpu
 from cfnerf_tpu.ops.compositing import TRANS_EPS
 
 LOGDET_EPS = 1e-8  # reference flows.py:255
-B_TILE = 512
+B_TILE = 512  # tile-size TARGET in lanes; _tile_for picks the actual tile
 Z_A, Z_R = 1, 3
+
+
+def _tile_for(S: int):
+    """Lane-aligned point-tile (whole rays, multiple of 128 lanes) nearest
+    the measured 512-lane sweet spot, or None if S can't tile.  Rays per
+    tile must be a power of two dividing 128 so the one-hot output
+    placement (i_mod * RT + r) spans exactly the 128-lane block.  For S
+    dividing 512 this returns 512 — the original fixed tile — and extends
+    coverage to any S with an x*128 multiple at RT<=128 (48, 96, 24, 80,
+    56, ... — notably the EVAL_r04 operating point S=48 -> 384 and the
+    reference's own 96-sample coarse pass -> 384)."""
+    best = None
+    rt = 1
+    while rt <= 128:
+        bt = S * rt
+        if bt % 128 == 0 and bt <= 2048:
+            if best is None or abs(bt - B_TILE) < abs(best - B_TILE):
+                best = bt
+        rt *= 2
+    return best
 
 
 def supported(B: int, s_per_ray: int) -> bool:
     """Shapes the kernel handles; callers fall back to the XLA path
-    otherwise.  Requires whole 128-lane output blocks (R % 128) and whole
-    rays per tile.  Deliberately K-independent — the kernel tiles only B
-    and S, and the renderer's gate must stay EXACTLY this predicate (a
-    divergence turns a silent fallback into a trace-time error)."""
+    otherwise.  Requires whole 128-lane output blocks (R % 128) and a
+    lane-aligned whole-ray tile (_tile_for).  Deliberately K-independent —
+    the kernel tiles only B and S, and the renderer's gate must stay
+    EXACTLY this predicate (a divergence turns a silent fallback into a
+    trace-time error)."""
     S = s_per_ray
-    if S < 2 or B_TILE % S or B % B_TILE:
+    if S < 2:
         return False
-    rt = B_TILE // S
-    if 128 % rt:
+    bt = _tile_for(S)
+    if bt is None or B % bt:
         return False
     R = B // S
     return R % 128 == 0
@@ -221,13 +242,14 @@ def _flow_bwd(trace, g_z, g_ldj, r1_ref, r2_ref,
 
 
 def _composite_fwd(den, zs_r, zrow, drow, *, K, S):
-    """den: (K, B_TILE) pre-softplus density; zs_r: 3 x (K, B_TILE)
-    pre-sigmoid rgb; zrow/drow: (1, B_TILE).  Returns per-point composite
+    """den: (K, b_tile) pre-softplus density; zs_r: 3 x (K, b_tile)
+    pre-sigmoid rgb; zrow/drow: (1, b_tile).  Returns per-point composite
     quantities (everything needed by both output reduction and bwd)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (K, B_TILE), 1)
+    b_tile = den.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, b_tile), 1)
     lane_pos = lane % S
 
-    d = jnp.broadcast_to(drow, (K, B_TILE))
+    d = jnp.broadcast_to(drow, (K, b_tile))
     e = jnp.exp(-jax.nn.softplus(den) * d)          # = 1 - alpha (:424)
     x = e + TRANS_EPS                                # (:443)
 
@@ -243,9 +265,9 @@ def _composite_fwd(den, zs_r, zrow, drow, *, K, S):
 
 
 def _seg_matrix(RT, S):
-    """(B_TILE, RT) f32: seg[l, r] = 1 iff lane l belongs to ray r."""
-    li = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, RT), 0)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, RT), 1)
+    """(RT*S, RT) f32: seg[l, r] = 1 iff lane l belongs to ray r."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (RT * S, RT), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (RT * S, RT), 1)
     return (li // S == ri).astype(jnp.float32)
 
 
@@ -258,21 +280,33 @@ def _placement(i_mod, RT):
     return (li == i_mod * RT + ri).astype(jnp.float32)
 
 
+# All kernel matmuls carry composite sums / gradient gathers where one
+# operand is a 0/1 iota matrix (exact in any precision) and the other is
+# f32 data.  At DEFAULT precision the MXU truncates the data operand to
+# bf16 (~2^-9 relative noise per element) — measured on v5e as a
+# -0.008 SSIM / +0.22 nat KDE-NLL eval-time penalty on the r04 sweep
+# anchor (same checkpoint, fused vs XLA eval; PSNR/AUSE unaffected).
+# HIGHEST forces the 3-pass f32 emulation; these matmuls ride the
+# otherwise-idle MXU, so the extra passes are off the critical path.
+DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _gather_cols(ref_block, i_mod, RT, S):
-    """(rows, 128) g-input block -> (rows, B_TILE) per-point expansion of
-    this step's RT ray columns: one (128, B_TILE) iota matrix multiply."""
-    li = jax.lax.broadcasted_iota(jnp.int32, (128, B_TILE), 0)
-    bi = jax.lax.broadcasted_iota(jnp.int32, (128, B_TILE), 1)
+    """(rows, 128) g-input block -> (rows, RT*S) per-point expansion of
+    this step's RT ray columns: one (128, RT*S) iota matrix multiply."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (128, RT * S), 0)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (128, RT * S), 1)
     sel = (li == i_mod * RT + bi // S).astype(jnp.float32)
     return jax.lax.dot_general(
         ref_block, sel, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=DOT_PRECISION,
     )
 
 
 def _dot(a, b):
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=DOT_PRECISION,
     )
 
 
@@ -286,17 +320,18 @@ def _fwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
                 zrow_ref, drow_ref,
                 rgb_ref, depth_ref, acc_ref, ldj_ref, *,
                 K, S, F, compute_log_det):
-    RT = B_TILE // S
+    b_tile = zrow_ref.shape[1]
+    RT = b_tile // S
     TPB = 128 // RT
     i = pl.program_id(0)
     i_mod = jax.lax.rem(i, TPB)
 
     zs_a, ldj_a, _ = _flow_fwd(
-        z0a_ref, r1a_ref, r2a_ref, ba_ref, Z=Z_A, F=F, K=K, n_lanes=B_TILE,
+        z0a_ref, r1a_ref, r2a_ref, ba_ref, Z=Z_A, F=F, K=K, n_lanes=b_tile,
         compute_log_det=compute_log_det,
     )
     zs_r, ldj_r, _ = _flow_fwd(
-        z0r_ref, r1r_ref, r2r_ref, br_ref, Z=Z_R, F=F, K=K, n_lanes=B_TILE,
+        z0r_ref, r1r_ref, r2r_ref, br_ref, Z=Z_R, F=F, K=K, n_lanes=b_tile,
         compute_log_det=compute_log_det,
     )
 
@@ -307,9 +342,9 @@ def _fwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
 
     seg = _seg_matrix(RT, S)
     place = _placement(i_mod, RT)
-    seg_place = _dot(seg, place)  # (B_TILE, 128): reduce + place in one go
+    seg_place = _dot(seg, place)  # (b_tile, 128): reduce + place in one go
 
-    z = jnp.broadcast_to(zrow_ref[0:1, :], (K, B_TILE))
+    z = jnp.broadcast_to(zrow_ref[0:1, :], (K, b_tile))
 
     @pl.when(i_mod == 0)
     def _():
@@ -330,7 +365,7 @@ def _fwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
         corr_r = ldj_r
         for c in range(3):
             corr_r = corr_r + (zs_r[c] - 2.0 * jax.nn.softplus(zs_r[c]))
-        la = jnp.sum(corr_a, axis=0, keepdims=True)  # (1, B_TILE)
+        la = jnp.sum(corr_a, axis=0, keepdims=True)  # (1, b_tile)
         lr = jnp.sum(corr_r, axis=0, keepdims=True)
         ldj_ref[0:1, :] += _dot(la, seg_place)
         ldj_ref[1:2, :] += _dot(lr, seg_place)
@@ -343,25 +378,26 @@ def _bwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
                 g_z0a_ref, g_r1a_ref, g_r2a_ref, g_ba_ref,
                 g_z0r_ref, g_r1r_ref, g_r2r_ref, g_br_ref, *,
                 K, S, F, compute_log_det):
-    RT = B_TILE // S
+    b_tile = zrow_ref.shape[1]
+    RT = b_tile // S
     TPB = 128 // RT
     i = pl.program_id(0)
     i_mod = jax.lax.rem(i, TPB)
 
     # ---- recompute forward (traces stay in VMEM) ----
     zs_a, _, trace_a = _flow_fwd(
-        z0a_ref, r1a_ref, r2a_ref, ba_ref, Z=Z_A, F=F, K=K, n_lanes=B_TILE,
+        z0a_ref, r1a_ref, r2a_ref, ba_ref, Z=Z_A, F=F, K=K, n_lanes=b_tile,
         compute_log_det=False, save_intermediates=True,
     )
     zs_r, _, trace_r = _flow_fwd(
-        z0r_ref, r1r_ref, r2r_ref, br_ref, Z=Z_R, F=F, K=K, n_lanes=B_TILE,
+        z0r_ref, r1r_ref, r2r_ref, br_ref, Z=Z_R, F=F, K=K, n_lanes=b_tile,
         compute_log_det=False, save_intermediates=True,
     )
     den = zs_a[0]
     lane_pos, d, e, x, T, w, vs = _composite_fwd(
         den, zs_r, zrow_ref[0:1, :], drow_ref[0:1, :], K=K, S=S
     )
-    z = jnp.broadcast_to(zrow_ref[0:1, :], (K, B_TILE))
+    z = jnp.broadcast_to(zrow_ref[0:1, :], (K, b_tile))
 
     # ---- expand this tile's output cotangents to per-point form ----
     G_rgb = [
@@ -395,10 +431,10 @@ def _bwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
     g_den = g_e * e * (-d) * sig_den
 
     if compute_log_det:
-        g_la = _gather_cols(g_ldj_ref[0:1, :], i_mod, RT, S)  # (1, B_TILE)
+        g_la = _gather_cols(g_ldj_ref[0:1, :], i_mod, RT, S)  # (1, b_tile)
         g_lr = _gather_cols(g_ldj_ref[1:2, :], i_mod, RT, S)
-        g_la_b = jnp.broadcast_to(g_la, (K, B_TILE))
-        g_lr_b = jnp.broadcast_to(g_lr, (K, B_TILE))
+        g_la_b = jnp.broadcast_to(g_la, (K, b_tile))
+        g_lr_b = jnp.broadcast_to(g_lr, (K, b_tile))
         # corrections: d/dz (z - softplus z) = 1 - sigmoid(z);
         #              d/dz (z - 2 softplus z) = 1 - 2 sigmoid(z)
         g_den = g_den + g_la_b * (1.0 - sig_den)
@@ -421,7 +457,7 @@ def _bwd_kernel(z0a_ref, r1a_ref, r2a_ref, ba_ref,
 
     # ---- z0 is broadcast over points: accumulate the lane-sum across the
     # whole grid into lane 0 of a single revisited block ----
-    ones_col = (jax.lax.broadcasted_iota(jnp.int32, (B_TILE, 128), 1) == 0
+    ones_col = (jax.lax.broadcasted_iota(jnp.int32, (b_tile, 128), 1) == 0
                 ).astype(jnp.float32)
 
     @pl.when(i == 0)
@@ -454,8 +490,8 @@ def _z0_col(z0):
     return z0.T.reshape(Z * K, 1)
 
 
-def _row_spec(rows):
-    return pl.BlockSpec((rows, B_TILE), lambda i: (0, i),
+def _row_spec(rows, b_tile):
+    return pl.BlockSpec((rows, b_tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
 
@@ -509,7 +545,8 @@ def _fwd_impl(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
             "(callers must gate on render_core.supported)"
         )
     R = B // S
-    RT = B_TILE // S
+    bt = _tile_for(S)
+    RT = bt // S
     TPB = 128 // RT
 
     r1a_t, r2a_t, ba_t = _to_rows(r1_a, r2_a, b_a)
@@ -520,11 +557,11 @@ def _fwd_impl(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
         z_pts.reshape(1, B), d_pts.reshape(1, B),
     )
     in_specs = [
-        _const_spec(Z_A * K), _row_spec(Z_A * Z_A * F),
-        _row_spec(Z_A * Z_A * F), _row_spec(Z_A * F),
-        _const_spec(Z_R * K), _row_spec(Z_R * Z_R * F),
-        _row_spec(Z_R * Z_R * F), _row_spec(Z_R * F),
-        _row_spec(1), _row_spec(1),
+        _const_spec(Z_A * K), _row_spec(Z_A * Z_A * F, bt),
+        _row_spec(Z_A * Z_A * F, bt), _row_spec(Z_A * F, bt),
+        _const_spec(Z_R * K), _row_spec(Z_R * Z_R * F, bt),
+        _row_spec(Z_R * Z_R * F, bt), _row_spec(Z_R * F, bt),
+        _row_spec(1, bt), _row_spec(1, bt),
     ]
 
     kernel = functools.partial(
@@ -532,7 +569,7 @@ def _fwd_impl(z0_a, r1_a, r2_a, b_a, z0_r, r1_r, r2_r, b_r,
     )
     rgb_t, depth_t, acc_t, ldj_t = pl.pallas_call(
         kernel,
-        grid=(B // B_TILE,),
+        grid=(B // bt,),
         in_specs=in_specs,
         out_specs=[
             _out_spec(3 * K, TPB), _out_spec(K, TPB),
@@ -570,7 +607,8 @@ def _vjp_bwd(s_per_ray, compute_log_det, interpret, res, cotangents):
     F = r1_a.shape[-1]
     S = s_per_ray
     R = B // S
-    RT = B_TILE // S
+    bt = _tile_for(S)
+    RT = bt // S
     TPB = 128 // RT
 
     r1a_t, r2a_t, ba_t = _to_rows(r1_a, r2_a, b_a)
@@ -589,11 +627,11 @@ def _vjp_bwd(s_per_ray, compute_log_det, interpret, res, cotangents):
         g_acc_t.astype(jnp.float32), g_ldj,
     )
     in_specs = [
-        _const_spec(Z_A * K), _row_spec(Z_A * Z_A * F),
-        _row_spec(Z_A * Z_A * F), _row_spec(Z_A * F),
-        _const_spec(Z_R * K), _row_spec(Z_R * Z_R * F),
-        _row_spec(Z_R * Z_R * F), _row_spec(Z_R * F),
-        _row_spec(1), _row_spec(1),
+        _const_spec(Z_A * K), _row_spec(Z_A * Z_A * F, bt),
+        _row_spec(Z_A * Z_A * F, bt), _row_spec(Z_A * F, bt),
+        _const_spec(Z_R * K), _row_spec(Z_R * Z_R * F, bt),
+        _row_spec(Z_R * Z_R * F, bt), _row_spec(Z_R * F, bt),
+        _row_spec(1, bt), _row_spec(1, bt),
         _out_spec(3 * K, TPB), _out_spec(K, TPB),
         _out_spec(K, TPB), _out_spec(2, TPB),
     ]
@@ -607,15 +645,15 @@ def _vjp_bwd(s_per_ray, compute_log_det, interpret, res, cotangents):
     (g_z0a_t, g_r1a_t, g_r2a_t, g_ba_t,
      g_z0r_t, g_r1r_t, g_r2r_t, g_br_t) = pl.pallas_call(
         kernel,
-        grid=(B // B_TILE,),
+        grid=(B // bt,),
         in_specs=in_specs,
         out_specs=[
             const_out(Z_A * K),
-            _row_spec(Z_A * Z_A * F), _row_spec(Z_A * Z_A * F),
-            _row_spec(Z_A * F),
+            _row_spec(Z_A * Z_A * F, bt), _row_spec(Z_A * Z_A * F, bt),
+            _row_spec(Z_A * F, bt),
             const_out(Z_R * K),
-            _row_spec(Z_R * Z_R * F), _row_spec(Z_R * Z_R * F),
-            _row_spec(Z_R * F),
+            _row_spec(Z_R * Z_R * F, bt), _row_spec(Z_R * Z_R * F, bt),
+            _row_spec(Z_R * F, bt),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Z_A * K, 128), jnp.float32),

@@ -205,7 +205,84 @@ def test_supported_gate():
     assert supported(128 * 128, 128)       # flagship eval tile
     assert supported(640 * 128, 128)       # reference train batch
     assert not supported(100 * 128, 128)   # R % 128 != 0
-    assert not supported(128 * 96, 96)     # B_TILE % S != 0
+    assert supported(128 * 96, 96)         # ref coarse pass: 384-lane tile
+    assert supported(128 * 48, 48)         # EVAL_r04 operating point
+    assert not supported(128 * 100, 100)   # no lane-aligned pow2-ray tile
+    assert not supported(64 * 48, 48)      # R=64: R % 128 != 0
+    assert supported(128 * 24, 24)
+
+
+@pytest.mark.parametrize("S_odd", [48, 96])
+def test_nonpow2_sample_counts(S_odd):
+    """S=48 (EVAL_r04 operating point, 384-lane tile / 8 rays) and S=96
+    (the reference's hardcoded coarse pass, run_nerf_uncertainty_NF.py:510)
+    — tile sizes that are NOT the 512-lane default: forward + gradient
+    parity vs the XLA pipeline."""
+    Rv = 128
+    Bv = Rv * S_odd
+    rng = np.random.RandomState(17 + S_odd)
+    sc = 0.5
+    args = {
+        "z0_a": rng.randn(K, 1) * sc,
+        "r1_a": rng.randn(Bv, 1, 1, F) * sc,
+        "r2_a": rng.randn(Bv, 1, 1, F) * sc,
+        "b_a": rng.randn(Bv, 1, F) * sc,
+        "z0_r": rng.randn(K, 3) * sc,
+        "r1_r": np.triu(rng.randn(Bv, F, 3, 3) * sc).transpose(0, 2, 3, 1),
+        "r2_r": np.triu(rng.randn(Bv, F, 3, 3) * sc).transpose(0, 2, 3, 1),
+        "b_r": rng.randn(Bv, 3, F) * sc,
+    }
+    args = {k: jnp.asarray(v, jnp.float32) for k, v in args.items()}
+    z_vals = jnp.asarray(
+        np.sort(rng.rand(Rv, S_odd), -1) * 3.5 + 0.5, jnp.float32
+    )
+    rays_d = jnp.asarray(rng.randn(Rv, 3), jnp.float32)
+
+    def xla_pipe(a):
+        alpha0 = jnp.broadcast_to(a["z0_a"][None], (Bv, K, 1))
+        rgb0 = jnp.broadcast_to(a["z0_r"][None], (Bv, K, 3))
+        z_a, ldj_a = triangular_sylvester_stack(
+            alpha0, a["r1_a"], a["r2_a"], a["b_a"])
+        z_r, ldj_r = triangular_sylvester_stack(
+            rgb0, a["r1_r"], a["r2_r"], a["b_r"])
+        raw = jnp.concatenate([z_r, z_a], -1).reshape(Rv, S_odd, K, 4)
+        rgb_map, _, acc, _, depth = raw2outputs(raw, z_vals, rays_d)
+        ldj_a = ldj_a + (z_a - jax.nn.softplus(z_a)).sum(-1)
+        ldj_r = ldj_r + (z_r - 2.0 * jax.nn.softplus(z_r)).sum(-1)
+        ldj_ray = jnp.stack([
+            ldj_a.reshape(Rv, S_odd, K).sum((1, 2)),
+            ldj_r.reshape(Rv, S_odd, K).sum((1, 2)),
+        ])
+        return rgb_map, depth, acc, ldj_ray
+
+    def fused_pipe(a):
+        return fused_flow_composite(
+            a["z0_a"], a["r1_a"], a["r2_a"], a["b_a"],
+            a["z0_r"], a["r1_r"], a["r2_r"], a["b_r"],
+            z_vals.ravel(), _dists(z_vals, rays_d).ravel(),
+            S_odd, True, True,
+        )
+
+    ref = xla_pipe(args)
+    out = fused_pipe(args)
+    for name, a, b in zip(("rgb", "depth", "acc", "ldj"), out, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4, err_msg=name)
+
+    def make_loss(pipe):
+        def loss(a):
+            rgb, depth, acc, ldj = pipe(a)
+            return (rgb.mean() + 0.1 * depth.mean() + 0.05 * acc.mean()
+                    - 0.01 * ldj.sum() / (Bv * K))
+        return loss
+
+    g_ref = jax.grad(make_loss(xla_pipe))(args)
+    g_fused = jax.grad(make_loss(fused_pipe))(args)
+    for k in args:
+        a, b = np.asarray(g_fused[k]), np.asarray(g_ref[k])
+        assert np.all(np.isfinite(a)), k
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-6, err_msg=f"grad[{k}]"
+        )
 
 
 # ------------------------------------------------------------------ #
