@@ -82,6 +82,12 @@ class ConfigArgumentParser(argparse.ArgumentParser):
         raw_stripped = raw.strip().strip("'\"")
         if isinstance(action, (argparse._StoreTrueAction, argparse._StoreFalseAction)):
             return raw_stripped.lower() in ("true", "1", "yes")
+        if raw_stripped == "None":
+            # args.txt round-trip: run dirs record unset optional flags as
+            # the literal `None` (mirroring the reference's args.txt dumps);
+            # reading that back as the STRING "None" broke e.g. --model
+            # ("unknown baseline model 'none'") when re-running from --config.
+            return None
         if action.type is not None:
             return action.type(raw_stripped)
         return raw_stripped

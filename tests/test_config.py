@@ -62,3 +62,21 @@ def test_config_file_and_cli_precedence(tmp_path):
     args = parse_args(["--config", str(cfg), "--factor", "4", "--dataname", "statue"])
     assert args.factor == 4 and args.dataname == "statue"
     assert args.no_ndc is True  # untouched config value survives
+
+
+def test_args_txt_none_roundtrip(tmp_path):
+    """A run dir's args.txt records unset optional flags as the literal
+    `None` (e.g. `model = None`); re-running from --config must restore
+    the None OBJECT, not the string "None" — the string broke model
+    selection (factory.py lowercases it to 'none' -> 'unknown baseline
+    model') when evaluating a finished run via its own args.txt."""
+    cfg = tmp_path / "args.txt"
+    cfg.write_text(
+        "model = None\n"
+        "expname = roundtrip\n"
+        "k_schedule = None\n"
+    )
+    args = parse_args(["--config", str(cfg)])
+    assert args.model is None
+    assert args.k_schedule is None
+    assert args.expname == "roundtrip"
