@@ -94,16 +94,23 @@ def load_weights_from_keras(params, weights, *, depth: int = 8):
     (params is not mutated); shapes are validated against the target."""
     import numpy as np
 
-    # device_get tree_maps into fresh containers, so in-place edits below
-    # never mutate the caller's pytree
-    params = jax.device_get(params)
+    # unfreeze() handles FrozenDict pytrees; device_get then tree_maps into
+    # fresh mutable containers, so in-place edits below never mutate the
+    # caller's pytree
+    import flax.core
+
+    params = jax.device_get(flax.core.unfreeze(params))
 
     def put(module, w, b):
         kern, bias = np.asarray(w, np.float32), np.asarray(b, np.float32)
-        tgt = module["kernel"]
-        if kern.shape != tgt.shape:
+        tgt_k, tgt_b = module["kernel"], module["bias"]
+        if kern.shape != tgt_k.shape:
             raise ValueError(
-                f"keras kernel shape {kern.shape} != target {tgt.shape}"
+                f"keras kernel shape {kern.shape} != target {tgt_k.shape}"
+            )
+        if bias.shape != tgt_b.shape:
+            raise ValueError(
+                f"keras bias shape {bias.shape} != target {tgt_b.shape}"
             )
         module["kernel"], module["bias"] = kern, bias
 

@@ -65,12 +65,16 @@ def _tile_for(S: int):
     dividing 512 this returns 512 — the original fixed tile — and extends
     coverage to any S with an x*128 multiple at RT<=128 (48, 96, 24, 80,
     56, ... — notably the EVAL_r04 operating point S=48 -> 384 and the
-    reference's own 96-sample coarse pass -> 384)."""
+    reference's own 96-sample coarse pass -> 384).  Tiles are capped at
+    the 512-lane target: every shape we use lands at 384/512 anyway, and
+    admitting the bigger multiples (e.g. S=15 -> 1920 lanes) would turn
+    the old silent XLA fallback into an untested VMEM-heavy Mosaic
+    compile — those S values keep falling back instead."""
     best = None
     rt = 1
     while rt <= 128:
         bt = S * rt
-        if bt % 128 == 0 and bt <= 2048:
+        if bt % 128 == 0 and bt <= B_TILE:
             if best is None or abs(bt - B_TILE) < abs(best - B_TILE):
                 best = bt
         rt *= 2

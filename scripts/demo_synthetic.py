@@ -63,9 +63,20 @@ def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1):
 
     camera_angle_x = 0.8
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+    gen_params = {"H": H, "W": W, "n_train": n_train, "n_val": n_val,
+                  "radius": radius, "ss": ss}
     done_marker = os.path.join(root, ".complete")
     if os.path.exists(done_marker):
-        return root  # deterministic content — reuse across sweep runs
+        # deterministic content — reuse across sweep runs, but only if it
+        # was generated with the SAME params (the dir tag doesn't encode
+        # n_val/radius; a silent mismatch would eval on the wrong split)
+        with open(done_marker) as f:
+            raw = f.read().strip()
+        try:
+            if json.loads(raw) == gen_params:
+                return root
+        except json.JSONDecodeError:
+            pass  # legacy "ok" marker — regenerate (cheap + deterministic)
     os.makedirs(root, exist_ok=True)
     splits = {"train": n_train, "val": n_val, "test": n_val}
     rng = np.random.RandomState(0)
@@ -93,7 +104,7 @@ def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1):
         with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
             json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
     with open(done_marker, "w") as f:
-        f.write("ok\n")
+        json.dump(gen_params, f)
     return root
 
 

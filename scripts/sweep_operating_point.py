@@ -91,18 +91,22 @@ def main():
     ap.add_argument("--stage", default="screen")
     ap.add_argument("--iters", type=int, default=6000)
     ap.add_argument("--configs", default="",
-                    help="comma-separated name=json overrides for confirm "
-                         'runs, e.g. \'N64={"N_samples":64,...}\'')
+                    help="SEMICOLON-separated name=json entries for confirm "
+                         'runs (json itself contains commas), e.g. '
+                         '\'N64={"N_samples":64};N48={"N_samples":48}\'; '
+                         "unset keys take the screen-stage defaults")
     ap.add_argument("--outdir", default="/tmp/cfnerf_sweep_r04")
     ap.add_argument("--out", default=os.path.join(REPO, "EVAL_r04_sweep.json"))
     ap.add_argument("--log", default="/tmp/sweep_r04_runs.log")
     args = ap.parse_args()
 
     if args.configs:
+        base = dict(N_samples=128, K_samples=32, k_schedule=ksched(args.iters),
+                    N_importance=0, eval_K=0)
         cfgs = {}
         for part in args.configs.split(";"):
             name, js = part.split("=", 1)
-            cfgs[name] = json.loads(js)
+            cfgs[name] = dict(base, **json.loads(js))
     else:
         cfgs = configs(args.stage, args.iters)
 

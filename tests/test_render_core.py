@@ -212,6 +212,7 @@ def test_supported_gate():
     assert supported(128 * 24, 24)
 
 
+@pytest.mark.slow  # ~2 min interpret-mode fwd+bwd on the 1-core box
 @pytest.mark.parametrize("S_odd", [48, 96])
 def test_nonpow2_sample_counts(S_odd):
     """S=48 (EVAL_r04 operating point, 384-lane tile / 8 rays) and S=96
