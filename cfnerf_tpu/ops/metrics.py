@@ -119,9 +119,16 @@ def ssim(
         return jnp.moveaxis(im, 0, -1)
 
     mu0, mu1 = blur(img0), blur(img1)
-    s00 = blur(img0 * img0) - mu0 ** 2
-    s11 = blur(img1 * img1) - mu1 ** 2
+    # blur(x*x) - mu^2 cancels catastrophically in f32 on flat regions
+    # (e.g. white background): tiny negative variances / Cauchy-Schwarz
+    # violations push per-window SSIM above 1 (observed 1.026 on a
+    # near-perfect view).  Clamp to the mathematically valid region —
+    # s00,s11 >= 0 and |s01| <= sqrt(s00*s11) — which guarantees
+    # ssim_map <= 1 by AM-GM.
+    s00 = jnp.maximum(blur(img0 * img0) - mu0 ** 2, 0.0)
+    s11 = jnp.maximum(blur(img1 * img1) - mu1 ** 2, 0.0)
     s01 = blur(img0 * img1) - mu0 * mu1
+    s01 = jnp.sign(s01) * jnp.minimum(jnp.abs(s01), jnp.sqrt(s00 * s11))
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
     ssim_map = ((2 * mu0 * mu1 + c1) * (2 * s01 + c2)) / (
