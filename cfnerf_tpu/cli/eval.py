@@ -62,6 +62,25 @@ def evaluate(args) -> Dict[str, float]:
     model, model_fine, render_config, params, start = create_nerf(args)
     print(f"evaluating checkpoint step {start}")
 
+    if args.N_importance_eval > 0 and model_fine is None:
+        # eval-only importance placement: coarse pass at the trained
+        # N_samples, inverse-CDF resample N_importance_eval extra depths,
+        # second query through the SAME network/params (renderer shared-net
+        # hierarchical path).  Disables the fused kernel for this eval (the
+        # hierarchical pass needs the coarse `weights`).
+        import dataclasses
+
+        render_config = dataclasses.replace(
+            render_config, n_importance=args.N_importance_eval
+        )
+        print(f"eval-only importance placement: +{args.N_importance_eval} "
+              f"samples on top of N={render_config.n_samples}")
+    elif args.N_importance_eval > 0:
+        import sys
+
+        print("WARNING: --N_importance_eval ignored — this run already has "
+              "a fine network (--N_importance > 0)", file=sys.stderr)
+
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)
 

@@ -83,6 +83,9 @@ def make_render_rays(
     the capability the reference declares via its N_importance flag but
     never implemented (SURVEY.md section 2 defects; nerf-pytorch semantics).
     Coarse outputs are returned as rgb0/disp0/depth0/loss_entropy0.
+    Without model_apply_fine the SAME model (and the same raw params
+    pytree, not a coarse/fine pair) runs both passes — the eval-only
+    importance-placement mode (--N_importance_eval).
 
     model_apply_fused (models.nerf_flows.make_fused_apply): when given and
     the batch shape qualifies, flows + composite run as ONE Pallas kernel
@@ -166,7 +169,11 @@ def make_render_rays(
                 acc_map=acc_map, loss_entropy=loss_entropy,
             )
 
-        coarse_params = params["coarse"] if config.n_importance > 0 else params
+        # params are a {"coarse","fine"} pair exactly when a separate fine
+        # network exists; with n_importance > 0 and NO fine net (eval-only
+        # importance placement, --N_importance_eval) the single trained
+        # model serves both passes on its own pytree.
+        coarse_params = params["coarse"] if model_apply_fine is not None else params
         raw, loss_entropy = _query(
             model_apply, coarse_params, z_vals, rays_o, rays_d, viewdirs,
             rng_eps, is_test,

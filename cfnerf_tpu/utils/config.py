@@ -148,6 +148,13 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--N_samples", type=int, default=64)
     parser.add_argument("--K_samples", type=int, default=64)
     parser.add_argument("--N_importance", type=int, default=0)
+    parser.add_argument("--N_importance_eval", type=int, default=0,
+                        help="EVAL-ONLY importance placement: at evaluation, "
+                             "resample this many extra depths from the "
+                             "coarse weights and re-query the SAME trained "
+                             "network (no fine net, zero training cost); "
+                             "lets a low-N_samples training config recover "
+                             "sampling density at test time")
     parser.add_argument("--perturb", type=float, default=1.0)
     parser.add_argument("--use_viewdirs", action="store_true")
     parser.add_argument("--i_embed", type=int, default=0)

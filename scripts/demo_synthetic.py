@@ -119,6 +119,8 @@ def main():
     ap.add_argument("--supersample", type=int, default=1,
                     help="anti-alias the analytic GT (ss x ss box filter)")
     ap.add_argument("--netwidth", type=int, default=256)
+    ap.add_argument("--netdepth", type=int, default=8,
+                    help="trunk depth (student-trunk studies)")
     ap.add_argument("--N_samples", type=int, default=64)
     ap.add_argument("--K_samples", type=int, default=16)
     ap.add_argument("--N_rand", type=int, default=1024)
@@ -131,6 +133,14 @@ def main():
                     help="K for the held-out eval (0 = same as --K_samples);"
                          " K is not a parameter axis, so a K16-trained "
                          "model evaluates at K32 unchanged")
+    ap.add_argument("--eval_N_samples", type=int, default=0,
+                    help="N_samples for the held-out eval (0 = same as "
+                         "--N_samples); the z-schedule is not a parameter "
+                         "axis either, so a low-N-trained model can eval "
+                         "at a denser schedule")
+    ap.add_argument("--eval_N_importance", type=int, default=0,
+                    help="eval-only importance placement: passthrough to "
+                         "--N_importance_eval (same net, no fine model)")
     ap.add_argument("--n_inner", type=int, default=10)
     ap.add_argument("--fused_render", default="auto",
                     help="passthrough ('auto'|'on'|'off'|'interpret') — "
@@ -165,7 +175,8 @@ def main():
         "--N_samples", str(args_demo.N_samples),
         "--K_samples", str(args_demo.K_samples),
         "--n_flows", "4", "--h_alpha_size", "64", "--h_rgb_size", "64",
-        "--netdepth", "8", "--netwidth", str(args_demo.netwidth),
+        "--netdepth", str(args_demo.netdepth),
+        "--netwidth", str(args_demo.netwidth),
         "--type_flows", "triangular", "--beta1", "0.01",
         "--use_viewdirs", "--white_bkgd", "--no_ndc",
         "--lrate", "5e-4", "--n_inner", str(args_demo.n_inner),
@@ -187,6 +198,11 @@ def main():
     if args_demo.eval_K:
         i = eval_flags.index("--K_samples")
         eval_flags[i + 1] = str(args_demo.eval_K)
+    if args_demo.eval_N_samples:
+        i = eval_flags.index("--N_samples")
+        eval_flags[i + 1] = str(args_demo.eval_N_samples)
+    if args_demo.eval_N_importance:
+        eval_flags += ["--N_importance_eval", str(args_demo.eval_N_importance)]
     summary = evaluate(parse_args(eval_flags))
     summary["train_wall_s"] = round(train_wall, 1)
     print("DEMO SUMMARY:", json.dumps(

@@ -58,14 +58,21 @@ def run_one(name, cfg, iters, outdir, log_fh):
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "demo_synthetic.py"),
         "--outdir", outdir, "--res", "128", "--n_train", "50", "--n_val", "4",
-        "--supersample", "4", "--netwidth", "512",
+        "--supersample", "4",
+        "--netwidth", str(cfg.get("netwidth", 512)),
+        "--netdepth", str(cfg.get("netdepth", 8)),
         "--N_rand", "4096", "--iters", str(iters),
         "--expname", f"sweep_{name}_{iters}",
         "--N_samples", str(cfg["N_samples"]),
         "--K_samples", str(cfg["K_samples"]),
         "--N_importance", str(cfg["N_importance"]),
         "--eval_K", str(cfg["eval_K"]),
+        "--seed", str(cfg.get("seed", 0)),
     ]
+    if cfg.get("eval_N_samples"):
+        cmd += ["--eval_N_samples", str(cfg["eval_N_samples"])]
+    if cfg.get("eval_N_importance"):
+        cmd += ["--eval_N_importance", str(cfg["eval_N_importance"])]
     if cfg["k_schedule"]:
         cmd += ["--k_schedule", cfg["k_schedule"]]
     env = dict(os.environ)

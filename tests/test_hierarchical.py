@@ -85,6 +85,35 @@ def test_hierarchical_train_step():
         assert max(diffs) > 0, f"{side} params unchanged"
 
 
+def test_eval_importance_shared_net_matches_pair():
+    """--N_importance_eval semantics: a shared-net hierarchical render on the
+    raw params pytree must equal the pair-params render when the 'fine'
+    network/params are literally the coarse ones (same apply, same pytree)."""
+    model = NeRFFlows(
+        net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+        skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=4,
+    )
+    rc = RenderConfig(n_samples=16, n_importance=8, perturb=False)
+    x = jnp.zeros((2, 90))
+    params = model.init(jax.random.PRNGKey(0), x, is_test=True)["params"]
+
+    def ap(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    ro, rd, vd, near, far = _rays()
+    shared = make_render_rays(ap, rc)(
+        params, ro, rd, vd, near, far, None, is_test=True)
+    pair = make_render_rays(ap, rc, ap)(
+        {"coarse": params, "fine": params}, ro, rd, vd, near, far, None,
+        is_test=True)
+    for k in ("rgb_map", "disp_map", "rgb0"):
+        np.testing.assert_allclose(
+            np.asarray(shared[k]), np.asarray(pair[k]), rtol=1e-6, atol=1e-6)
+    # and the fine render actually differs from the coarse one (the extra
+    # importance-placed samples changed the composite)
+    assert np.abs(np.asarray(shared["rgb_map"] - shared["rgb0"])).max() > 1e-6
+
+
 def test_render_image_hierarchical():
     """Full-image eval render with N_importance > 0: the coarse pass's
     scalar loss_entropy0 must not crash the per-ray reshape (it did —
@@ -104,9 +133,11 @@ def test_render_image_hierarchical():
     )
     rc = RenderConfig(n_samples=8, n_importance=4, perturb=False,
                       use_viewdirs=True)
+    # shared-net hierarchical: no fine apply -> the renderer runs both
+    # passes on the SAME raw params pytree (the --N_importance_eval mode);
+    # pair params are reserved for a real coarse/fine net pair.
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 90)),
                         is_test=True)["params"]
-    params = {"coarse": params, "fine": params}
 
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)
