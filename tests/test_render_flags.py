@@ -33,9 +33,10 @@ def _run(use_viewdirs, lindisp, uniform, white_bkgd, n_importance, is_test):
         uniform=uniform, multires=10, multires_views=4,
     )
     x = jnp.zeros((2, 63 + in_views))
+    # raw params even with n_importance > 0: no fine apply is passed, so the
+    # renderer runs the shared-net hierarchical path (--N_importance_eval
+    # semantics); pair params are reserved for a real coarse/fine net pair.
     params = model.init(jax.random.PRNGKey(0), x, is_test=True)["params"]
-    if n_importance > 0:
-        params = {"coarse": params, "fine": params}
 
     def model_apply(p, xx, *, is_test, rng):
         return model.apply({"params": p}, xx, is_test=is_test, rng=rng)
