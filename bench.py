@@ -52,28 +52,29 @@ PEAK_TFLOPS = {
 }
 
 
-def matmul_flops_per_point() -> float:
+def matmul_flops_per_point(w: int = W, d: int = D) -> float:
     """Matmul FLOPs (2*m*n per row) of one model forward for one 3D point,
     one K handled separately (flow stack is elementwise, not matmul).
     K-independent: the trunk+heads dominate and are computed once per
     point regardless of the Monte-Carlo draw count."""
     mm = lambda fi, fo: 2.0 * fi * fo
-    f = mm(INPUT_CH, W)
-    skips = (D // 2,)
-    for i in range(1, D):
-        fan_in = W + INPUT_CH if (i - 1) in skips else W
-        f += mm(fan_in, W)
-    f += mm(W, W)                        # feature_linear
-    f += mm(W, H_SIZE)                   # h_alpha_linear
-    f += mm(W + INPUT_CH_VIEWS, W // 2)  # views_linear
-    f += mm(W // 2, H_SIZE)              # h_rgb_linear
+    f = mm(INPUT_CH, w)
+    skips = (d // 2,)
+    for i in range(1, d):
+        fan_in = w + INPUT_CH if (i - 1) in skips else w
+        f += mm(fan_in, w)
+    f += mm(w, w)                        # feature_linear
+    f += mm(w, H_SIZE)                   # h_alpha_linear
+    f += mm(w + INPUT_CH_VIEWS, w // 2)  # views_linear
+    f += mm(w // 2, H_SIZE)              # h_rgb_linear
     for z in (1, 3):                     # flow amortization heads
         f += mm(H_SIZE, N_FLOWS * z * z) + 3 * mm(H_SIZE, N_FLOWS * z)
     return f
 
 
-def flops_per_ray(train: bool, n_samples: int = N_SAMPLES) -> float:
-    per_point = matmul_flops_per_point()
+def flops_per_ray(train: bool, n_samples: int = N_SAMPLES,
+                  w: int = W, d: int = D) -> float:
+    per_point = matmul_flops_per_point(w, d)
     mult = 3.0 if train else 1.0  # bwd ~= 2x fwd matmul FLOPs
     return per_point * n_samples * mult
 
@@ -89,7 +90,8 @@ def peak_tflops() -> float:
 
 
 def _build(compute_dtype="bfloat16", remat=True, fused=None,
-           n_samples=N_SAMPLES, k_samples=K_SAMPLES):
+           n_samples=N_SAMPLES, k_samples=K_SAMPLES,
+           net_width=W, net_depth=D):
     import jax
     import jax.numpy as jnp
 
@@ -101,8 +103,10 @@ def _build(compute_dtype="bfloat16", remat=True, fused=None,
     if fused is None:
         fused = "on" if on_tpu else "off"
     model = NeRFFlows(
-        net_depth=D, net_width=W, input_ch=INPUT_CH, input_ch_views=INPUT_CH_VIEWS,
-        skips=(D // 2,), h_alpha_size=H_SIZE, h_rgb_size=H_SIZE, n_flows=N_FLOWS,
+        net_depth=net_depth, net_width=net_width,
+        input_ch=INPUT_CH, input_ch_views=INPUT_CH_VIEWS,
+        skips=(net_depth // 2,), h_alpha_size=H_SIZE, h_rgb_size=H_SIZE,
+        n_flows=N_FLOWS,
         k_samples=k_samples, use_viewdirs=True, type_flows="triangular",
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
         flow_impl="pallas" if on_tpu else "xla",
@@ -133,14 +137,16 @@ def _ray_batch(R, rng):
 
 def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
                 remat: bool = False, n_samples: int = N_SAMPLES,
-                k_samples: int = K_SAMPLES) -> float:
+                k_samples: int = K_SAMPLES, net_width: int = W,
+                net_depth: int = D) -> float:
     import jax
     import jax.numpy as jnp
 
     from cfnerf_tpu.train.step import make_train_loop
 
     model, rc, tc, params = _build(remat=remat, n_samples=n_samples,
-                                   k_samples=k_samples)
+                                   k_samples=k_samples, net_width=net_width,
+                                   net_depth=net_depth)
     train_loop, tx = make_train_loop(model, rc, tc, mesh=None, n_inner=n_inner)
     opt_state = tx.init(params)
 
@@ -167,7 +173,8 @@ def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
 
 def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10,
                     n_samples: int = N_SAMPLES,
-                    k_samples: int = K_SAMPLES) -> float:
+                    k_samples: int = K_SAMPLES, net_width: int = W,
+                    net_depth: int = D) -> float:
     """Test-mode K-sample render throughput (fixed eps, no grad)."""
     import jax
     import jax.numpy as jnp
@@ -175,7 +182,8 @@ def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10,
     from cfnerf_tpu.models.nerf_flows import make_fused_apply
     from cfnerf_tpu.render.renderer import make_render_rays
 
-    model, rc, tc, params = _build(n_samples=n_samples, k_samples=k_samples)
+    model, rc, tc, params = _build(n_samples=n_samples, k_samples=k_samples,
+                                   net_width=net_width, net_depth=net_depth)
 
     def model_apply(p, x, *, is_test, rng):
         return model.apply({"params": p}, x, is_test=is_test, rng=rng)
@@ -273,6 +281,30 @@ def main():
         "quality_evidence": "EVAL_r04.json (N48 screen + seed spread)",
     }
 
+    # student trunk (EVAL_r05: W384 at N48 — near-matched quality at
+    # ~0.57x per-point FLOPs; quality deltas + seed spread in EVAL_r05.json)
+    st_train_best, st_train_cfg = _sweep(
+        bench_train,
+        [dict(batch_size=16384, remat=False, n_samples=48, net_width=384)],
+        "student_train",
+    )
+    st_infer_best, st_infer_cfg = _sweep(
+        bench_inference,
+        [dict(batch_size=131072, n_samples=48, net_width=384)],
+        "student_infer",
+    )
+    student_point = {
+        "n_samples": 48, "net_width": 384,
+        "train_rays_per_sec": round(st_train_best, 1),
+        "train_mfu": round(
+            st_train_best * flops_per_ray(True, 48, 384) / peak, 4),
+        "inference_rays_per_sec": round(st_infer_best, 1),
+        "inference_mfu": round(
+            st_infer_best * flops_per_ray(False, 48, 384) / peak, 4),
+        "config": f"train={st_train_cfg} infer={st_infer_cfg}",
+        "quality_evidence": "EVAL_r05.json (W384 seed pool + 20k confirm)",
+    }
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(train_best, 1),
@@ -288,6 +320,7 @@ def main():
             f"train={train_cfg} infer={infer_cfg}"
         ),
         "operating_point": operating_point,
+        "student_point": student_point,
         "note": (
             "1M rays/s north-star is ~9x above the matmul-FLOP ceiling at "
             "this config on v5e; see module docstring for the FLOP model"
