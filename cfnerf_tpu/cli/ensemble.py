@@ -55,6 +55,9 @@ def eval_ensemble(args, n_members: int) -> dict:
     rf = args.render_factor
     He, We, fe = (H, W, focal) if rf == 0 else (H // rf, W // rf, focal / rf)
 
+    from cfnerf_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(args.mesh_devices if args.mesh_devices > 0 else None)
+
     # per-member renders
     member_renders: List[dict] = []
     member_steps: List[int] = []
@@ -93,6 +96,7 @@ def eval_ensemble(args, n_members: int) -> dict:
                 ndc=(args.dataset_type == "llff" and not args.no_ndc),
                 use_viewdirs=args.use_viewdirs,
                 near=scene["near"], far=scene["far"], tile=args.chunk,
+                mesh=mesh,
             )
             renders[view] = np.asarray(out["rgb_map"])  # (H, W, 3, K)
         member_renders.append(renders)

@@ -62,6 +62,11 @@ def evaluate(args) -> Dict[str, float]:
     model, model_fine, render_config, params, start = create_nerf(args)
     print(f"evaluating checkpoint step {start}")
 
+    # multi-chip serving: shard each render tile's ray axis over the data
+    # mesh (render_image mesh path) — eval throughput scales with chips
+    from cfnerf_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(args.mesh_devices if args.mesh_devices > 0 else None)
+
     if args.N_importance_eval > 0 and model_fine is None:
         # eval-only importance placement: coarse pass at the trained
         # N_samples, inverse-CDF resample N_importance_eval extra depths,
@@ -113,6 +118,7 @@ def evaluate(args) -> Dict[str, float]:
             ndc=(args.dataset_type == "llff" and not args.no_ndc),
             use_viewdirs=args.use_viewdirs,
             near=scene["near"], far=scene["far"], tile=args.chunk,
+            mesh=mesh,
         )
         rgb_k = np.asarray(out["rgb_map"])   # (H, W, 3, K)
         disp_k = np.asarray(out["disp_map"])

@@ -258,6 +258,23 @@ def prepare_rays(
     return rays_o, rays_d, viewdirs, near_v, far_v
 
 
+def _params_on_mesh(params: Any, mesh) -> Any:
+    """Place params on `mesh` for a sharded render: leaves already carrying a
+    NamedSharding on this mesh (e.g. tensor-parallel placement from
+    parallel.mesh.shard_params_tp) are kept; anything else is replicated.
+    Mixing single-device params with mesh-sharded ray tiles would raise a
+    committed-device conflict in eager dispatch."""
+    from jax.sharding import NamedSharding as _NS
+
+    def place(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, _NS) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, _NS(mesh, jax.sharding.PartitionSpec()))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def render_image(
     render_rays_fn: Callable[..., Dict[str, jnp.ndarray]],
     params: Any,
@@ -271,6 +288,7 @@ def render_image(
     near: float,
     far: float,
     tile: int = 4096,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full-image eval render (reference render_path single-pose path,
     :247-314, with the snapshot's crash bugs fixed).
@@ -278,7 +296,23 @@ def render_image(
     Tiles H*W rays with lax.map so device memory stays bounded while the
     per-tile compute is one fused kernel.  Pads the ray count up to a tile
     multiple (static shapes) and strips the padding after.
+
+    With `mesh` (a jax.sharding.Mesh carrying a `data` axis) the rays
+    INSIDE each tile are sharded across the data axis, so full-image
+    inference throughput scales with chips: per-ray math has no cross-ray
+    communication (parallel/mesh.py module docstring), so GSPMD partitions
+    every tile with zero collectives — the multi-chip serving path the
+    reference's single-process DataParallel eval can't express.  Params are
+    replicated onto the mesh unless already placed there (tensor-parallel
+    trunks keep their layout).  Equivalence with the single-device path is
+    pinned by tests/test_sharding.py.
     """
+    if mesh is not None:
+        from cfnerf_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        tile = -(-tile // n_data) * n_data  # round up: tile splits evenly
+        params = _params_on_mesh(params, mesh)
     rays_o, rays_d = get_rays(H, W, focal, c2w)
     rays_o, rays_d, viewdirs, near_v, far_v = prepare_rays(
         rays_o, rays_d, H=H, W=W, focal=focal, ndc=ndc,
@@ -304,6 +338,13 @@ def render_image(
         reshape(near_v),
         reshape(far_v),
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cfnerf_tpu.parallel.mesh import DATA_AXIS
+
+        tile_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        tiles = tuple(jax.device_put(t, tile_sharding) for t in tiles)
     out = jax.lax.map(body, tiles)
     result = {}
     for k, v in out.items():

@@ -177,6 +177,7 @@ def render_path(
     params,
     savedir: Optional[str] = None,
     render_factor: int = 0,
+    mesh=None,
 ):
     """Render a pose path in test mode (intended render_path behavior,
     reference :173-244 with its crashes fixed).
@@ -196,7 +197,7 @@ def render_path(
             ndc=(args.dataset_type == "llff" and not args.no_ndc),
             use_viewdirs=args.use_viewdirs,
             near=scene["near"], far=scene["far"],
-            tile=args.chunk,
+            tile=args.chunk, mesh=mesh,
         )
         rgb_k = np.asarray(out["rgb_map"])  # (H, W, 3, K)
         disp_k = np.asarray(out["disp_map"])
@@ -274,7 +275,7 @@ def train(args) -> None:
         os.makedirs(testsavedir, exist_ok=True)
         rgbs, disps, stds = render_path(
             render_poses, scene, args, render_rays_test, params,
-            savedir=testsavedir, render_factor=args.render_factor,
+            savedir=testsavedir, render_factor=args.render_factor, mesh=mesh,
         )
         _save_video(rgbs, os.path.join(testsavedir, "video.mp4"))
         print("Done rendering", testsavedir)
@@ -492,6 +493,7 @@ def train(args) -> None:
                         H=H, W=W, focal=focal, ndc=tc.ndc,
                         use_viewdirs=args.use_viewdirs,
                         near=scene["near"], far=scene["far"], tile=args.chunk,
+                        mesh=mesh,
                     )
                     logger.image_panel(
                         i, prefix,
@@ -509,12 +511,14 @@ def train(args) -> None:
                 render_path(
                     scene["poses"][scene["i_val"]], scene, args, render_rays_test,
                     params, savedir=testsavedir, render_factor=args.render_factor,
+                    mesh=mesh,
                 )
                 print("Saved test set renders to", testsavedir)
 
             if i > 0 and _crossed(i_prev, i, args.i_video):
                 rgbs, disps, _ = render_path(
-                    scene["render_poses"], scene, args, render_rays_test, params
+                    scene["render_poses"], scene, args, render_rays_test, params,
+                    mesh=mesh,
                 )
                 moviebase = os.path.join(rundir, f"{args.expname}_spiral_{i:06d}_")
                 _save_video(rgbs, moviebase + "rgb.mp4")
