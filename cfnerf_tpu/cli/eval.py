@@ -55,6 +55,57 @@ def kde_nll_per_pixel(rgb_k: np.ndarray, gt: np.ndarray, k: int) -> np.ndarray:
     return -np.log(p)  # (H, W, 3)
 
 
+def _occ_wrap(render_rays_fn, args, scene, model, params, render_config):
+    """Bake the trained density into a voxel grid and wrap the renderer so
+    eval z placement comes from grid-composited visibility weights
+    (ops/occupancy.py).  The aabb comes from the TRAIN cameras' prepared
+    rays — same space the renderer samples in (NDC-transformed when the
+    run uses NDC)."""
+    import time
+
+    from cfnerf_tpu.ops.occupancy import (
+        aabb_from_rays,
+        bake_density_grid,
+        make_density_fn,
+        make_occ_render_rays,
+    )
+    from cfnerf_tpu.ops.rays import get_rays
+    from cfnerf_tpu.render.renderer import prepare_rays
+
+    H, W, focal = scene["H"], scene["W"], scene["focal"]
+    ndc = args.dataset_type == "llff" and not args.no_ndc
+    ro_all, rd_all, nv_all, fv_all = [], [], [], []
+    for view in scene["i_train"]:
+        ro, rd = get_rays(H, W, focal, jnp.asarray(scene["poses"][view]))
+        ro, rd, _, nv, fv = prepare_rays(
+            ro, rd, H=H, W=W, focal=focal, ndc=ndc,
+            use_viewdirs=args.use_viewdirs,
+            near=scene["near"], far=scene["far"],
+        )
+        sub = slice(None, None, 16)  # every 16th ray bounds the frustum fine
+        ro_all.append(ro[sub]); rd_all.append(rd[sub])
+        nv_all.append(nv[sub]); fv_all.append(fv[sub])
+    ro = jnp.concatenate(ro_all); rd = jnp.concatenate(rd_all)
+    nv = jnp.concatenate(nv_all); fv = jnp.concatenate(fv_all)
+    lo, hi = aabb_from_rays(ro, rd, nv, fv)
+
+    dev_params = jax.tree_util.tree_map(jnp.asarray, params)
+    density_fn = make_density_fn(model, dev_params, render_config)
+    t0 = time.time()
+    grid = bake_density_grid(
+        density_fn, lo, hi, resolution=args.occ_res, dilate=args.occ_dilate
+    )
+    grid.block_until_ready()
+    occupied = float((grid > 1e-2).mean())
+    print(f"occupancy grid baked in {time.time() - t0:.1f}s: "
+          f"{args.occ_res}^3, {100 * occupied:.1f}% occupied (sigma > 1e-2)")
+
+    return make_occ_render_rays(
+        render_rays_fn, grid, lo, hi, render_config.n_samples,
+        n_candidates=args.occ_candidates, floor=args.occ_floor,
+    )
+
+
 def evaluate(args) -> Dict[str, float]:
     scene = load_dataset(args)
     H, W, focal = scene["H"], scene["W"], scene["focal"]
@@ -66,6 +117,23 @@ def evaluate(args) -> Dict[str, float]:
     # mesh (render_image mesh path) — eval throughput scales with chips
     from cfnerf_tpu.parallel.mesh import create_mesh
     mesh = create_mesh(args.mesh_devices if args.mesh_devices > 0 else None)
+
+    occ_n = int(getattr(args, "occ_eval", 0) or 0)
+    if occ_n > 0 and (model_fine is not None or args.N_importance_eval > 0):
+        import sys
+
+        print("WARNING: --occ_eval ignored — incompatible with a fine "
+              "network / --N_importance_eval (hierarchical placement "
+              "already owns the z axis)", file=sys.stderr)
+        occ_n = 0
+    if occ_n > 0:
+        import dataclasses
+
+        trained_n = render_config.n_samples
+        render_config = dataclasses.replace(render_config, n_samples=occ_n)
+        print(f"occupancy-grid eval: N={occ_n} grid-placed samples/ray "
+              f"(trained at N={trained_n}; grid {args.occ_res}^3, "
+              f"{args.occ_candidates} candidates, floor {args.occ_floor})")
 
     if args.N_importance_eval > 0 and model_fine is None:
         # eval-only importance placement: coarse pass at the trained
@@ -100,6 +168,11 @@ def evaluate(args) -> Dict[str, float]:
         model_apply, render_config, fine_apply,
         make_fused_apply(model, render_config.fused),
     )
+
+    if occ_n > 0:
+        render_rays_fn = _occ_wrap(
+            render_rays_fn, args, scene, model, params, render_config
+        )
 
     rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
     outdir = os.path.join(rundir, f"eval_{start:06d}")

@@ -125,20 +125,24 @@ def make_render_rays(
         rng: Optional[jax.Array],
         *,
         is_test: bool,
+        z_vals: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         R = rays_o.shape[0]
         S = config.n_samples
 
-        z_vals = sample_z_vals(
-            near, far, S, lindisp=config.lindisp, uniform=config.uniform
-        )
-        z_vals = jnp.broadcast_to(z_vals, (R, S))
-
         rng_z = rng_eps = rng_noise = rng_pdf = rng_eps_f = None
         if rng is not None:
             rng_z, rng_eps, rng_noise, rng_pdf, rng_eps_f = jax.random.split(rng, 5)
-        if config.perturb and not is_test and rng_z is not None:
-            z_vals = stratified_perturb(z_vals, rng_z)
+
+        if z_vals is None:
+            z_vals = sample_z_vals(
+                near, far, S, lindisp=config.lindisp, uniform=config.uniform
+            )
+            z_vals = jnp.broadcast_to(z_vals, (R, S))
+            if config.perturb and not is_test and rng_z is not None:
+                z_vals = stratified_perturb(z_vals, rng_z)
+        # else: externally placed depths (ops/occupancy.py occ_z_vals) —
+        # sorted (R, S); jitter/schedule are the placer's responsibility.
 
         from cfnerf_tpu.ops.pallas.render_core import supported as _fused_ok
 

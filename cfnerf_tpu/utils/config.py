@@ -155,6 +155,25 @@ def config_parser() -> ConfigArgumentParser:
                              "network (no fine net, zero training cost); "
                              "lets a low-N_samples training config recover "
                              "sampling density at test time")
+    parser.add_argument("--occ_eval", type=int, default=0,
+                        help="EVAL-ONLY occupancy-grid sample placement: "
+                             "bake the trained density into a voxel grid, "
+                             "then render held-out views with this many "
+                             "samples per ray placed by inverse-CDF over "
+                             "grid-composited visibility weights (0 = off). "
+                             "A handful of gathers per ray replaces the "
+                             "dense z-schedule, so inference throughput "
+                             "scales ~N_samples/occ_eval at matched quality "
+                             "(ops/occupancy.py)")
+    parser.add_argument("--occ_res", type=int, default=128,
+                        help="occupancy grid resolution per axis")
+    parser.add_argument("--occ_candidates", type=int, default=192,
+                        help="candidate bins per ray for grid placement")
+    parser.add_argument("--occ_floor", type=float, default=0.01,
+                        help="uniform mixture mass in the placement pdf "
+                             "(keeps empty/missed rays renderable)")
+    parser.add_argument("--occ_dilate", type=int, default=1,
+                        help="3x3x3 max-pool dilation passes on the baked grid")
     parser.add_argument("--perturb", type=float, default=1.0)
     parser.add_argument("--use_viewdirs", action="store_true")
     parser.add_argument("--i_embed", type=int, default=0)

@@ -51,6 +51,17 @@ def test_eval_cli(tmp_path):
     loaded = json.load(open(os.path.join(outdir, "metrics.json")))
     assert loaded["views"][0]["view"] == summary["views"][0]["view"]
 
+    # occupancy-grid accelerated eval on the same checkpoint: bakes the
+    # density grid, renders at a smaller grid-placed N, full metrics out
+    args_occ = _args(datadir, basedir, extra=[
+        "--occ_eval", "8", "--occ_res", "16", "--occ_candidates", "32",
+    ])
+    summary_occ = evaluate(args_occ)
+    assert len(summary_occ["views"]) == 2
+    import numpy as np
+    for key in ("psnr", "ssim", "nll", "ause"):
+        assert np.isfinite(summary_occ[key])
+
 
 def test_no_batching_precrop_train(tmp_path):
     datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8)
