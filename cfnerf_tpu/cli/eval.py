@@ -91,7 +91,30 @@ def _occ_wrap(render_rays_fn, args, scene, model, params, render_config):
 
     dev_params = jax.tree_util.tree_map(jnp.asarray, params)
     density_fn = make_density_fn(model, dev_params, render_config)
+
+    impl = args.occ_impl
+    if impl == "auto":
+        impl = "proposal" if jax.default_backend() == "tpu" else "grid"
     t0 = time.time()
+    if impl == "proposal":
+        from cfnerf_tpu.ops.occupancy import (
+            distill_proposal,
+            make_placed_render_rays,
+            make_proposal_sigma_fn,
+        )
+
+        prop, pparams, dloss = distill_proposal(
+            density_fn, lo, hi, jax.random.PRNGKey(args.seed or 0)
+        )
+        print(f"proposal MLP distilled in {time.time() - t0:.1f}s "
+              f"(final log1p-sigma MSE {dloss:.4f})")
+        return make_placed_render_rays(
+            render_rays_fn,
+            make_proposal_sigma_fn(prop, pparams, lo, hi),
+            render_config.n_samples,
+            n_candidates=args.occ_candidates, floor=args.occ_floor,
+        )
+
     grid = bake_density_grid(
         density_fn, lo, hi, resolution=args.occ_res, dilate=args.occ_dilate
     )

@@ -165,8 +165,16 @@ def config_parser() -> ConfigArgumentParser:
                              "dense z-schedule, so inference throughput "
                              "scales ~N_samples/occ_eval at matched quality "
                              "(ops/occupancy.py)")
+    parser.add_argument("--occ_impl", default="auto",
+                        choices=["auto", "grid", "proposal"],
+                        help="density-proxy backend for --occ_eval: 'grid' "
+                             "= baked voxel grid (nearest-cell gather — "
+                             "fine on CPU, slow on TPU), 'proposal' = tiny "
+                             "MLP distilled from the trained density (pure "
+                             "matmuls — the TPU serving path), 'auto' = "
+                             "proposal on TPU else grid")
     parser.add_argument("--occ_res", type=int, default=128,
-                        help="occupancy grid resolution per axis")
+                        help="occupancy grid resolution per axis (grid impl)")
     parser.add_argument("--occ_candidates", type=int, default=192,
                         help="candidate bins per ray for grid placement")
     parser.add_argument("--occ_floor", type=float, default=0.01,

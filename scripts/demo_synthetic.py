@@ -141,6 +141,17 @@ def main():
     ap.add_argument("--eval_N_importance", type=int, default=0,
                     help="eval-only importance placement: passthrough to "
                          "--N_importance_eval (same net, no fine model)")
+    ap.add_argument("--eval_occ", type=int, default=0,
+                    help="occupancy-grid accelerated eval: passthrough to "
+                         "--occ_eval (grid-placed samples per ray)")
+    ap.add_argument("--eval_occ_impl", default="auto",
+                    help="passthrough to --occ_impl (auto|grid|proposal)")
+    ap.add_argument("--eval_occ_res", type=int, default=128)
+    ap.add_argument("--eval_occ_candidates", type=int, default=192)
+    ap.add_argument("--eval_occ_floor", type=float, default=0.01)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse the checkpoint already in --outdir/logs "
+                         "(eval-only A/Bs on one trained model)")
     ap.add_argument("--n_inner", type=int, default=10)
     ap.add_argument("--fused_render", default="auto",
                     help="passthrough ('auto'|'on'|'off'|'interpret') — "
@@ -191,9 +202,11 @@ def main():
     if args_demo.k_schedule:
         flags += ["--k_schedule", args_demo.k_schedule]
     import time as _time
-    t0 = _time.time()
-    train(parse_args(flags + ["--is_train"]))
-    train_wall = _time.time() - t0
+    train_wall = 0.0
+    if not args_demo.skip_train:
+        t0 = _time.time()
+        train(parse_args(flags + ["--is_train"]))
+        train_wall = _time.time() - t0
     eval_flags = list(flags)
     if args_demo.eval_K:
         i = eval_flags.index("--K_samples")
@@ -203,6 +216,14 @@ def main():
         eval_flags[i + 1] = str(args_demo.eval_N_samples)
     if args_demo.eval_N_importance:
         eval_flags += ["--N_importance_eval", str(args_demo.eval_N_importance)]
+    if args_demo.eval_occ:
+        eval_flags += [
+            "--occ_eval", str(args_demo.eval_occ),
+            "--occ_impl", args_demo.eval_occ_impl,
+            "--occ_res", str(args_demo.eval_occ_res),
+            "--occ_candidates", str(args_demo.eval_occ_candidates),
+            "--occ_floor", str(args_demo.eval_occ_floor),
+        ]
     summary = evaluate(parse_args(eval_flags))
     summary["train_wall_s"] = round(train_wall, 1)
     print("DEMO SUMMARY:", json.dumps(

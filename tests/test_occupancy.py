@@ -17,12 +17,17 @@ import jax.numpy as jnp
 
 from cfnerf_tpu.models.nerf_flows import NeRFFlows
 from cfnerf_tpu.ops.occupancy import (
+    ProposalMLP,
     aabb_from_rays,
     bake_density_grid,
+    distill_proposal,
     grid_lookup,
     make_density_fn,
     make_occ_render_rays,
+    make_placed_render_rays,
+    make_proposal_sigma_fn,
     occ_z_vals,
+    place_from_sigma,
 )
 from cfnerf_tpu.ops.sampling import sample_z_vals
 from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays
@@ -146,6 +151,72 @@ def test_empty_grid_degrades_to_uniform_schedule():
         np.testing.assert_allclose(
             np.asarray(out_occ[key]), np.asarray(out_ref[key]),
             atol=2e-3, err_msg=key,
+        )
+
+
+def test_proposal_distills_slab_and_places_like_grid():
+    """The proposal MLP distilled from an analytic slab density must place
+    samples in the slab like the grid proxy does — the two backends of the
+    same placement op (the proposal is the TPU one: matmuls, no gathers)."""
+    lo = jnp.array([-1.0, -1.0, 0.0])
+    hi = jnp.array([1.0, 1.0, 4.0])
+
+    def density(pts):  # slab z in [2.0, 2.5)
+        z = pts[..., 2]
+        return jnp.where((z >= 2.0) & (z < 2.5), 10.0, 0.0)
+
+    prop, pparams, dloss = distill_proposal(
+        density, lo, hi, jax.random.PRNGKey(0),
+        n_points=1 << 15, batch=1 << 11, epochs=4,
+    )
+    assert dloss < 0.2, dloss  # log1p targets are 0 / log(11) ~ 2.4
+    sigma_fn = make_proposal_sigma_fn(prop, pparams, lo, hi)
+
+    R, N = 32, 16
+    ro = jnp.zeros((R, 3)).at[:, 0].set(jnp.linspace(-0.3, 0.3, R))
+    rd = jnp.zeros((R, 3)).at[:, 2].set(1.0)
+    near, far = jnp.full((R, 1), 0.0), jnp.full((R, 1), 4.0)
+    z = place_from_sigma(sigma_fn, ro, rd, near, far, N, n_candidates=128)
+    assert bool(jnp.all(z[:, 1:] >= z[:, :-1]))
+    frac_in = float(((z > 1.8) & (z < 2.7)).mean())
+    assert frac_in > 0.7, frac_in
+
+
+def test_placed_render_rays_matches_occ_wrapper():
+    """make_placed_render_rays with a grid-lookup sigma_fn is exactly the
+    make_occ_render_rays path — one placement op, two proxies."""
+    R, N, K = 8, 16, 4
+    model = NeRFFlows(
+        net_depth=2, net_width=16, input_ch=63, input_ch_views=27,
+        skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=K,
+        use_viewdirs=True, type_flows="triangular",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 90)), is_test=True
+    )["params"]
+
+    def model_apply(p, xx, *, is_test, rng):
+        return model.apply({"params": p}, xx, is_test=is_test, rng=rng)
+
+    rc = RenderConfig(n_samples=N, perturb=False, use_viewdirs=True)
+    base = make_render_rays(model_apply, rc)
+    ro, rd = _rays(R)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    near, far = jnp.full((R, 1), 0.5), jnp.full((R, 1), 4.0)
+    lo, hi = aabb_from_rays(ro, rd, near, far)
+    grid = jnp.asarray(
+        np.exp(np.random.RandomState(3).randn(16, 16, 16)), jnp.float32
+    )
+
+    occ = make_occ_render_rays(base, grid, lo, hi, N, n_candidates=64)
+    placed = make_placed_render_rays(
+        base, lambda pts: grid_lookup(grid, lo, hi, pts), N, n_candidates=64
+    )
+    out_a = occ(params, ro, rd, vd, near, far, None, is_test=True)
+    out_b = placed(params, ro, rd, vd, near, far, None, is_test=True)
+    for key in ("rgb_map", "depth_map"):
+        np.testing.assert_allclose(
+            np.asarray(out_a[key]), np.asarray(out_b[key]), atol=1e-6
         )
 
 

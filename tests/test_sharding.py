@@ -347,6 +347,36 @@ def test_render_image_mesh_matches_single_device():
         )
 
 
+@pytest.mark.slow
+def test_render_image_mesh_occ_matches_single_device():
+    """Occupancy-grid accelerated serving over the mesh: the grid rides as a
+    closure const (replicated by GSPMD) while each tile's ray axis shards —
+    must reproduce the single-device occ render exactly."""
+    from cfnerf_tpu.ops.occupancy import make_occ_render_rays
+    from cfnerf_tpu.render.renderer import render_image
+
+    render_rays, params = _render_setup()
+    rng = np.random.RandomState(7)
+    grid = jnp.asarray(np.exp(rng.randn(16, 16, 16)), jnp.float32)
+    occ = make_occ_render_rays(
+        render_rays, grid, jnp.array([-4.0, -4.0, -4.0]),
+        jnp.array([4.0, 4.0, 4.0]), 16, n_candidates=32,
+    )
+    kw = dict(H=8, W=8, focal=10.0, ndc=False, use_viewdirs=True,
+              near=0.5, far=4.0)
+    c2w = jnp.eye(4)[:3]
+
+    out1 = render_image(occ, params, c2w, tile=30, **kw)
+    mesh = create_mesh(8)
+    out8 = render_image(occ, params, c2w, tile=30, mesh=mesh, **kw)
+
+    assert set(out1) == set(out8)
+    for k in out1:
+        np.testing.assert_allclose(
+            np.asarray(out8[k]), np.asarray(out1[k]), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_render_image_mesh_keeps_tp_params():
     """render_image on a 2-D (data x model) mesh with tensor-parallel
     params: _params_on_mesh must keep the width-sharded placement (not
