@@ -138,17 +138,37 @@ def _ray_batch(R, rng):
 def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
                 remat: bool = False, n_samples: int = N_SAMPLES,
                 k_samples: int = K_SAMPLES, net_width: int = W,
-                net_depth: int = D) -> float:
+                net_depth: int = D, occ_n: int = 0,
+                occ_candidates: int = 128) -> float:
+    """occ_n > 0: the occ-stage step (proposal-placed sampling at occ_n
+    samples/ray + in-step proposal co-training, train/step.py
+    OccTrainConfig) — the real per-step cost including placement and the
+    co-train tax."""
     import jax
     import jax.numpy as jnp
 
     from cfnerf_tpu.train.step import make_train_loop
 
-    model, rc, tc, params = _build(remat=remat, n_samples=n_samples,
+    model, rc, tc, params = _build(remat=remat,
+                                   n_samples=occ_n or n_samples,
                                    k_samples=k_samples, net_width=net_width,
                                    net_depth=net_depth)
-    train_loop, tx = make_train_loop(model, rc, tc, mesh=None, n_inner=n_inner)
+    occ = None
+    if occ_n:
+        from cfnerf_tpu.ops.occupancy import ProposalMLP
+        from cfnerf_tpu.train.step import OccTrainConfig
+
+        occ = OccTrainConfig(lo=(-4.0, -4.0, -4.0), hi=(4.0, 4.0, 4.0),
+                             n_candidates=occ_candidates)
+    train_loop, tx = make_train_loop(model, rc, tc, mesh=None,
+                                     n_inner=n_inner, occ=occ)
     opt_state = tx.init(params)
+    if occ is not None:
+        prop = ProposalMLP(width=occ.prop_width, depth=occ.prop_depth,
+                           multires=occ.prop_multires)
+        opt_state = train_loop._wrap_state(
+            opt_state, prop.init(jax.random.PRNGKey(2))
+        )
 
     rng = np.random.RandomState(0)
     ro, rd = _ray_batch(batch_size * n_inner, rng)

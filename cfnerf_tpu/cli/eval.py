@@ -64,30 +64,13 @@ def _occ_wrap(render_rays_fn, args, scene, model, params, render_config):
     import time
 
     from cfnerf_tpu.ops.occupancy import (
-        aabb_from_rays,
+        aabb_from_scene,
         bake_density_grid,
         make_density_fn,
         make_occ_render_rays,
     )
-    from cfnerf_tpu.ops.rays import get_rays
-    from cfnerf_tpu.render.renderer import prepare_rays
 
-    H, W, focal = scene["H"], scene["W"], scene["focal"]
-    ndc = args.dataset_type == "llff" and not args.no_ndc
-    ro_all, rd_all, nv_all, fv_all = [], [], [], []
-    for view in scene["i_train"]:
-        ro, rd = get_rays(H, W, focal, jnp.asarray(scene["poses"][view]))
-        ro, rd, _, nv, fv = prepare_rays(
-            ro, rd, H=H, W=W, focal=focal, ndc=ndc,
-            use_viewdirs=args.use_viewdirs,
-            near=scene["near"], far=scene["far"],
-        )
-        sub = slice(None, None, 16)  # every 16th ray bounds the frustum fine
-        ro_all.append(ro[sub]); rd_all.append(rd[sub])
-        nv_all.append(nv[sub]); fv_all.append(fv[sub])
-    ro = jnp.concatenate(ro_all); rd = jnp.concatenate(rd_all)
-    nv = jnp.concatenate(nv_all); fv = jnp.concatenate(fv_all)
-    lo, hi = aabb_from_rays(ro, rd, nv, fv)
+    lo, hi = aabb_from_scene(scene, args)
 
     dev_params = jax.tree_util.tree_map(jnp.asarray, params)
     density_fn = make_density_fn(model, dev_params, render_config)

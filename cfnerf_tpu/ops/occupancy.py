@@ -409,6 +409,55 @@ def make_placed_render_rays(
     return render_rays
 
 
+def density_query(model, config, reduce: str = "mean") -> Callable:
+    """Returns fn(params, (P, 3) pts) -> (P,) sigma >= 0 — the per-call-
+    params form of make_density_fn (the train-time proposal co-training
+    target, where params change every step)."""
+    import jax.nn as jnn
+
+    embedder, embedder_dirs = config.embedders()
+    if reduce not in ("mean", "max"):
+        raise ValueError(f"reduce must be 'mean' or 'max', got {reduce!r}")
+
+    def density_fn(params, pts: jnp.ndarray) -> jnp.ndarray:
+        emb = embedder(pts)
+        if config.use_viewdirs and embedder_dirs is not None:
+            zero_dirs = jnp.zeros_like(pts)
+            zero_dirs = zero_dirs.at[..., 2].set(1.0)
+            emb = jnp.concatenate([emb, embedder_dirs(zero_dirs)], -1)
+        raw, _ = model.apply({"params": params}, emb, is_test=True, rng=None)
+        sig = raw[..., -1, 3] if reduce == "mean" else raw[..., 3].max(-1)
+        return jnn.softplus(sig)
+
+    return density_fn
+
+
+def aabb_from_scene(scene: dict, args) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scene-level sampling bounds: aabb_from_rays over every 16th prepared
+    ray of each TRAIN camera — the same space the renderer samples in
+    (NDC-transformed when the run uses NDC)."""
+    from cfnerf_tpu.ops.rays import get_rays
+    from cfnerf_tpu.render.renderer import prepare_rays
+
+    H, W, focal = scene["H"], scene["W"], scene["focal"]
+    ndc = args.dataset_type == "llff" and not args.no_ndc
+    ro_all, rd_all, nv_all, fv_all = [], [], [], []
+    for view in scene["i_train"]:
+        ro, rd = get_rays(H, W, focal, jnp.asarray(scene["poses"][view]))
+        ro, rd, _, nv, fv = prepare_rays(
+            ro, rd, H=H, W=W, focal=focal, ndc=ndc,
+            use_viewdirs=args.use_viewdirs,
+            near=scene["near"], far=scene["far"],
+        )
+        sub = slice(None, None, 16)  # every 16th ray bounds the frustum fine
+        ro_all.append(ro[sub]); rd_all.append(rd[sub])
+        nv_all.append(nv[sub]); fv_all.append(fv[sub])
+    return aabb_from_rays(
+        jnp.concatenate(ro_all), jnp.concatenate(rd_all),
+        jnp.concatenate(nv_all), jnp.concatenate(fv_all),
+    )
+
+
 def make_density_fn(
     model, params, config, reduce: str = "mean"
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -423,20 +472,5 @@ def make_density_fn(
     envelope, but flow-draw noise inflates it in free space, which shifts
     the composited placement weights EARLY along the ray (measured -2 dB on
     the EVAL_r05 student vs mean at N=16)."""
-    import jax.nn as jnn
-
-    embedder, embedder_dirs = config.embedders()
-    if reduce not in ("mean", "max"):
-        raise ValueError(f"reduce must be 'mean' or 'max', got {reduce!r}")
-
-    def density_fn(pts: jnp.ndarray) -> jnp.ndarray:
-        emb = embedder(pts)
-        if config.use_viewdirs and embedder_dirs is not None:
-            zero_dirs = jnp.zeros_like(pts)
-            zero_dirs = zero_dirs.at[..., 2].set(1.0)
-            emb = jnp.concatenate([emb, embedder_dirs(zero_dirs)], -1)
-        raw, _ = model.apply({"params": params}, emb, is_test=True, rng=None)
-        sig = raw[..., -1, 3] if reduce == "mean" else raw[..., 3].max(-1)
-        return jnn.softplus(sig)
-
-    return density_fn
+    fn = density_query(model, config, reduce)
+    return lambda pts: fn(params, pts)

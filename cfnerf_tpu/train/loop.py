@@ -337,6 +337,30 @@ def train(args) -> None:
     )
     opt_state = tx.init(params)
 
+    # --- occ stage config (proposal-placed training, step.OccTrainConfig) ---
+    occ_n = int(getattr(args, "occ_train", 0) or 0)
+    occ_from = int(getattr(args, "occ_train_from", 0) or 0)
+    occ_cfg = None
+    if occ_n > 0:
+        import dataclasses
+
+        from cfnerf_tpu.ops.occupancy import aabb_from_scene
+        from cfnerf_tpu.train.step import OccTrainConfig
+
+        if args.N_importance > 0:
+            raise ValueError("--occ_train is incompatible with --N_importance "
+                             "(one placement owner for the z axis)")
+        occ_lo, occ_hi = aabb_from_scene(scene, args)
+        occ_cfg = OccTrainConfig(
+            lo=tuple(float(x) for x in np.asarray(occ_lo)),
+            hi=tuple(float(x) for x in np.asarray(occ_hi)),
+            n_candidates=args.occ_candidates,
+            floor=args.occ_floor,
+        )
+        print(f"occ training: N={occ_n} proposal-placed samples/ray from "
+              f"step {occ_from} (dense N={args.N_samples} warmup before), "
+              f"aabb {np.asarray(occ_lo).round(3)}..{np.asarray(occ_hi).round(3)}")
+
     k_stages = None
     if getattr(args, "k_schedule", ""):
         import dataclasses
@@ -348,34 +372,48 @@ def train(args) -> None:
                 f"--K_samples={args.K_samples}; eval/test renders use "
                 f"K={args.K_samples}"
             )
+    _stage_cache = None
+    if k_stages is not None or occ_cfg is not None:
+        import dataclasses
+
         # seed the cache with the already-built base builders so the
-        # final (K == K_samples) stage reuses them instead of recompiling
+        # final dense (K == K_samples) stage reuses them instead of
+        # recompiling
         _stage_cache = {
-            args.K_samples: (
+            (args.K_samples, False): (
                 train_step,
                 None,  # filled below once the scan trainer exists
             )
         }
 
-        def _stage_builders(k):
-            """(train_step, train_loop) compiled for K=k.  K is not a
-            parameter axis, so params/opt_state flow across stages
-            unchanged; each new K costs one jit compile."""
-            if k not in _stage_cache:
+        def _stage_builders(k, occ_on):
+            """(train_step, train_loop) compiled for K=k, with/without
+            proposal-placed sampling.  Neither K nor the z placement is a
+            parameter axis, so params flow across stages unchanged; each
+            new stage costs one jit compile.  (The wrapped opt_state at
+            the occ boundary is built by the caller via _wrap_state.)"""
+            key = (k, occ_on)
+            if key not in _stage_cache:
                 m_k = model.clone(k_samples=k)
                 fine_k = model_fine.clone(k_samples=k) if model_fine is not None else None
                 tc_k = dataclasses.replace(tc, k_samples=k)
+                rc_k = render_config
+                occ_arg = None
+                if occ_on:
+                    rc_k = dataclasses.replace(render_config, n_samples=occ_n)
+                    occ_arg = occ_cfg
                 st, _ = make_train_step(
-                    m_k, render_config, tc_k, mesh=mesh, model_fine=fine_k
+                    m_k, rc_k, tc_k, mesh=mesh, model_fine=fine_k, occ=occ_arg
                 )
                 lp = None
                 if max(1, getattr(args, "n_inner", 1)) > 1:
                     lp, _ = make_train_loop(
-                        m_k, render_config, tc_k, mesh=mesh,
+                        m_k, rc_k, tc_k, mesh=mesh,
                         n_inner=max(1, args.n_inner), model_fine=fine_k,
+                        occ=occ_arg,
                     )
-                _stage_cache[k] = (st, lp)
-            return _stage_cache[k]
+                _stage_cache[key] = (st, lp)
+            return _stage_cache[key]
 
     logger = MetricsLogger(args.basedir, args.dataname, args.expname)
     rng = jax.random.PRNGKey(args.seed + start)
@@ -392,10 +430,10 @@ def train(args) -> None:
             model, render_config, tc, mesh=mesh, n_inner=n_inner,
             model_fine=model_fine,
         )
-    if k_stages is not None:
+    if _stage_cache is not None:
         # complete the seeded base-K cache entry now that the (optional)
         # scan trainer exists
-        _stage_cache[args.K_samples] = (
+        _stage_cache[(args.K_samples, False)] = (
             train_step, train_loop_fn if n_inner > 1 else None
         )
 
@@ -443,12 +481,43 @@ def train(args) -> None:
             i_prev = i
             rng, krng = jax.random.split(rng)
             step_fn, loop_fn = train_step, (train_loop_fn if n_inner > 1 else None)
-            if k_stages is not None:
+            if _stage_cache is not None:
                 # the upcoming dispatch trains steps i+1 .. i+n_inner, so
                 # the stage is selected by the FIRST step it will train
                 # (with n_inner > 1 a boundary inside the block rounds up
-                # to the next block — one K per dispatch)
-                step_fn, loop_fn = _stage_builders(k_for_step(k_stages, i + 1))
+                # to the next block — one stage per dispatch)
+                k_cur = (
+                    k_for_step(k_stages, i + 1)
+                    if k_stages is not None else args.K_samples
+                )
+                occ_on = occ_cfg is not None and (i + 1) >= occ_from
+                step_fn, loop_fn = _stage_builders(k_cur, occ_on)
+                if occ_on and not occ_wrapped[0]:
+                    # occ-stage boundary (or resume into it): distill the
+                    # proposal from the CURRENT field, wrap the optimizer
+                    # state with (prop_params, prop_opt).  The proposal is
+                    # deliberately not checkpointed — like the reference's
+                    # optimizer state, it is rebuilt on resume.
+                    from cfnerf_tpu.ops.occupancy import (
+                        distill_proposal,
+                        make_density_fn,
+                    )
+
+                    rng, krd = jax.random.split(rng)
+                    t_d = time.time()
+                    _, prop_params, dloss = distill_proposal(
+                        make_density_fn(model, params, render_config),
+                        jnp.asarray(occ_cfg.lo), jnp.asarray(occ_cfg.hi),
+                        krd,
+                        width=occ_cfg.prop_width, depth=occ_cfg.prop_depth,
+                        multires=occ_cfg.prop_multires,
+                        n_points=1 << 18, epochs=2,
+                    )
+                    opt_state = step_fn._wrap_state(opt_state, prop_params)
+                    occ_wrapped[0] = True
+                    print(f"occ stage: proposal distilled in "
+                          f"{time.time() - t_d:.1f}s (log1p MSE {dloss:.4f}); "
+                          f"training at N={occ_n} placed samples")
             if n_inner == 1:
                 i, batch = prefetcher.next()
                 params, opt_state, metrics = step_fn(params, opt_state, batch, krng)
@@ -526,6 +595,7 @@ def train(args) -> None:
 
 
     prof_open = [False]  # _run_loop marks an un-stopped profiler trace
+    occ_wrapped = [False]  # opt_state carries (prop_params, prop_opt) yet?
 
     try:
         _run_loop(params, opt_state, rng, img_log_idx)

@@ -33,6 +33,34 @@ from cfnerf_tpu.train.loss import total_loss
 
 
 @dataclasses.dataclass(frozen=True)
+class OccTrainConfig:
+    """Static config for proposal-placed training (the occ stage).
+
+    No reference counterpart (the reference trains every ray on the dense
+    hardcoded schedule, run_nerf_uncertainty_NF.py:510-532); this is the
+    instant-NGP/mip-NeRF-360-style TPU speed lever applied to TRAINING:
+    after a dense warmup, each step places render_config.n_samples depths
+    per ray by inverse-CDF over proposal-composited visibility weights
+    (stratified u draws — train-mode jitter), and the proposal MLP is
+    co-trained in the same jitted step against the CURRENT density field
+    (stop-gradient targets at uniform aabb points), so placement tracks
+    the field as it trains.  Proposal params/opt-state ride inside the
+    optimizer-state tuple — NOT in the model pytree, so checkpoints stay
+    layout-compatible (the proposal is re-distilled on resume, matching
+    the reference's own optimizer-state-not-restored convention)."""
+
+    lo: Tuple[float, float, float]
+    hi: Tuple[float, float, float]
+    n_candidates: int = 128
+    floor: float = 0.3
+    prop_width: int = 64
+    prop_depth: int = 2
+    prop_multires: int = 4
+    prop_lr: float = 2e-3
+    cotrain_points: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Static training hyperparameters (hashable, closed over jit)."""
 
@@ -124,6 +152,7 @@ def make_train_step(
     cfg: TrainConfig,
     mesh: Optional[Mesh] = None,
     model_fine=None,
+    occ: Optional[OccTrainConfig] = None,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """Returns (train_step, optimizer).
 
@@ -138,6 +167,12 @@ def make_train_step(
     {"coarse": ..., "fine": ...} and the loss follows nerf-pytorch
     hierarchical semantics: NLL on the fine render plus NLL on the coarse
     render, entropy regularizer summed over both networks.
+
+    With `occ` (OccTrainConfig), the step trains at render_config.n_samples
+    PROPOSAL-PLACED depths per ray and co-trains the proposal in the same
+    jit; opt_state is the wrapped tuple (opt_state, prop_params,
+    prop_opt_state) — build it with train_step._wrap_state(opt_state,
+    prop_params) from distilled proposal params.
     """
     tx = make_optimizer(cfg)
 
@@ -154,7 +189,23 @@ def make_train_step(
         ray_sharding = NamedSharding(mesh, P(DATA_AXIS))
         shard_rays = lambda x: jax.lax.with_sharding_constraint(x, ray_sharding)
 
-    def loss_fn(params, batch, rng):
+    prop = prop_tx = density_fn = occ_lo = occ_hi = None
+    if occ is not None:
+        from cfnerf_tpu.ops.occupancy import ProposalMLP, density_query
+
+        if render_config.n_importance > 0:
+            raise ValueError("occ training is incompatible with a "
+                             "hierarchical fine pass (one placement owner)")
+        prop = ProposalMLP(
+            width=occ.prop_width, depth=occ.prop_depth,
+            multires=occ.prop_multires,
+        )
+        prop_tx = optax.adam(occ.prop_lr)
+        density_fn = density_query(model, render_config)
+        occ_lo = jnp.asarray(occ.lo, jnp.float32)
+        occ_hi = jnp.asarray(occ.hi, jnp.float32)
+
+    def loss_fn(params, batch, rng, prop_params=None):
         rays_o, rays_d = batch["rays_o"], batch["rays_d"]
         n_rgb = rays_o.shape[0]
         if cfg.colmap_depth:
@@ -172,8 +223,30 @@ def make_train_step(
             if viewdirs is not None:
                 viewdirs = shard_rays(viewdirs)
 
+        z_vals = None
+        if occ is not None:
+            from cfnerf_tpu.ops.occupancy import (
+                make_proposal_sigma_fn,
+                place_from_sigma,
+            )
+
+            rng, rng_place = jax.random.split(rng)
+            sigma_fn = make_proposal_sigma_fn(prop, prop_params, occ_lo, occ_hi)
+            # stratified u draws (train-mode placement jitter); placement is
+            # not differentiated — the proposal learns from its own
+            # co-training loss, not through the render
+            z_vals = jax.lax.stop_gradient(
+                place_from_sigma(
+                    sigma_fn, rays_o, rays_d, near_v, far_v,
+                    render_config.n_samples,
+                    n_candidates=occ.n_candidates, floor=occ.floor,
+                    rng=rng_place,
+                )
+            )
+
         out = render_rays_fn(
-            params, rays_o, rays_d, viewdirs, near_v, far_v, rng, is_test=False
+            params, rays_o, rays_d, viewdirs, near_v, far_v, rng,
+            is_test=False, z_vals=z_vals,
         )
 
         rgbs = out["rgb_map"]  # (R+D, 3, K)
@@ -239,8 +312,42 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    train_step = jax.jit(_update)
-    train_step._update = _update  # shared logic for make_train_loop
+    def _update_occ(params, wrapped, batch, rng):
+        opt_state, prop_params, prop_opt = wrapped
+        rng, rng_pts = jax.random.split(rng)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, prop_params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # proposal co-training: regress log1p(sigma) of the JUST-UPDATED
+        # field at uniform aabb points (stop-gradient targets)
+        pts_unit = jax.random.uniform(
+            rng_pts, (occ.cotrain_points, 3), jnp.float32
+        )
+        pts_world = occ_lo + pts_unit * (occ_hi - occ_lo)
+        target = jax.lax.stop_gradient(
+            jnp.log1p(density_fn(params, pts_world))
+        )
+
+        def prop_loss_fn(pp):
+            pred = jnp.log1p(prop.apply(pp, pts_unit))
+            return jnp.mean((pred - target) ** 2)
+
+        prop_loss, prop_grads = jax.value_and_grad(prop_loss_fn)(prop_params)
+        prop_updates, prop_opt = prop_tx.update(prop_grads, prop_opt, prop_params)
+        prop_params = optax.apply_updates(prop_params, prop_updates)
+        metrics["prop_loss"] = prop_loss
+        return params, (opt_state, prop_params, prop_opt), metrics
+
+    update = _update if occ is None else _update_occ
+    train_step = jax.jit(update)
+    train_step._update = update  # shared logic for make_train_loop
+    if occ is not None:
+        train_step._wrap_state = lambda opt_state, prop_params: (
+            opt_state, prop_params, prop_tx.init(prop_params)
+        )
     return train_step, tx
 
 
@@ -251,6 +358,7 @@ def make_train_loop(
     mesh: Optional[Mesh] = None,
     n_inner: int = 10,
     model_fine=None,
+    occ: Optional[OccTrainConfig] = None,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """Device-resident multi-step trainer: lax.scan over n_inner optimizer
     steps in ONE dispatch.
@@ -263,7 +371,9 @@ def make_train_loop(
     train_loop(params, opt_state, batches, rng) -> (params, opt_state,
     stacked_metrics); `batches` leaves have shape (n_inner, ...).
     """
-    train_step, tx = make_train_step(model, render_config, cfg, mesh, model_fine)
+    train_step, tx = make_train_step(
+        model, render_config, cfg, mesh, model_fine, occ=occ
+    )
     update = train_step._update
 
     @jax.jit
@@ -281,4 +391,6 @@ def make_train_loop(
         )
         return params, opt_state, metrics
 
+    if occ is not None:
+        train_loop._wrap_state = train_step._wrap_state
     return train_loop, tx

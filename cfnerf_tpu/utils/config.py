@@ -165,6 +165,16 @@ def config_parser() -> ConfigArgumentParser:
                              "dense z-schedule, so inference throughput "
                              "scales ~N_samples/occ_eval at matched quality "
                              "(ops/occupancy.py)")
+    parser.add_argument("--occ_train", type=int, default=0,
+                        help="proposal-placed TRAINING: after a dense "
+                             "warmup (--occ_train_from steps at N_samples), "
+                             "train with this many samples/ray placed by a "
+                             "co-trained proposal MLP (0 = off).  Step cost "
+                             "scales ~occ_train/N_samples; the proposal "
+                             "rides in the optimizer state (not the "
+                             "checkpoint) and is re-distilled on resume")
+    parser.add_argument("--occ_train_from", type=int, default=0,
+                        help="global step at which placed sampling begins")
     parser.add_argument("--occ_impl", default="auto",
                         choices=["auto", "grid", "proposal"],
                         help="density-proxy backend for --occ_eval: 'grid' "

@@ -149,6 +149,11 @@ def main():
     ap.add_argument("--eval_occ_res", type=int, default=128)
     ap.add_argument("--eval_occ_candidates", type=int, default=192)
     ap.add_argument("--eval_occ_floor", type=float, default=0.01)
+    ap.add_argument("--occ_train", type=int, default=0,
+                    help="passthrough: proposal-placed training N")
+    ap.add_argument("--occ_train_from", type=int, default=0,
+                    help="passthrough: dense warmup steps before placed "
+                         "sampling starts")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the checkpoint already in --outdir/logs "
                          "(eval-only A/Bs on one trained model)")
@@ -201,6 +206,9 @@ def main():
     ]
     if args_demo.k_schedule:
         flags += ["--k_schedule", args_demo.k_schedule]
+    if args_demo.occ_train:
+        flags += ["--occ_train", str(args_demo.occ_train),
+                  "--occ_train_from", str(args_demo.occ_train_from)]
     import time as _time
     train_wall = 0.0
     if not args_demo.skip_train:
