@@ -136,8 +136,9 @@ def place_from_sigma(
     math itself — alpha_i = 1 - exp(-sigma_i * delta_i * ||d||), w_i =
     T_i * alpha_i — so samples go where the trained field says visible
     surfaces are.  A uniform mixture of mass `floor` keeps empty/missed
-    rays renderable.  det placement when rng is None (eval); stratified u
-    draws otherwise.  Returns sorted (R, n_samples) z values.
+    rays renderable.  det placement when rng is None (eval); u draws
+    stratified in CDF space (one per equal-mass stratum) otherwise.
+    Returns sorted (R, n_samples) z values.
 
     TPU lowering notes: the transmittance prefix sum is one (R, C) @ (C, C)
     triangular-ones matmul (MXU), and because the candidate bins are
@@ -178,7 +179,11 @@ def place_from_sigma(
             (R, n_samples),
         )
     else:
-        u = jax.random.uniform(rng, (R, n_samples), dtype=jnp.float32)
+        # stratified in CDF space: one draw per equal-mass stratum
+        u = (
+            jnp.arange(n_samples, dtype=jnp.float32)
+            + jax.random.uniform(rng, (R, n_samples), dtype=jnp.float32)
+        ) / n_samples
     # piecewise-linear inverse CDF over uniform bins, single fused pass
     seg = (u[:, :, None] - cdf_lo[:, None, :]) / pdf[:, None, :]  # (R, N, C)
     t_inv = jnp.sum(jnp.clip(seg, 0.0, 1.0), -1) / n_candidates  # (R, N) in [0,1]
@@ -223,28 +228,17 @@ def make_occ_render_rays(
     n_candidates: int = 192,
     floor: float = 0.01,
 ) -> Callable:
-    """Wrap a renderer (make_render_rays output whose config.n_samples ==
-    n_samples) so z placement comes from the occupancy grid.  Same call
-    signature as the base renderer -> drops into render_image unchanged.
-    The grid is committed to device here so it rides as a runtime buffer."""
+    """Grid-backed renderer wrapper: make_placed_render_rays with a
+    nearest-cell voxel lookup as the density proxy.  The grid is committed
+    to device here so it rides as a runtime buffer, not an inline HLO
+    constant (remote-compile payload limit, CLAUDE.md)."""
     grid = jnp.asarray(grid, jnp.float32)
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
-
-    def render_rays(params, rays_o, rays_d, viewdirs, near, far, rng, *, is_test):
-        rng_place = None
-        if rng is not None and not is_test:
-            rng, rng_place = jax.random.split(rng)
-        z_vals = occ_z_vals(
-            grid, lo, hi, rays_o, rays_d, near, far, n_samples,
-            n_candidates=n_candidates, floor=floor, rng=rng_place,
-        )
-        return base_render_rays(
-            params, rays_o, rays_d, viewdirs, near, far, rng,
-            is_test=is_test, z_vals=z_vals,
-        )
-
-    return render_rays
+    return make_placed_render_rays(
+        base_render_rays, lambda pts: grid_lookup(grid, lo, hi, pts),
+        n_samples, n_candidates=n_candidates, floor=floor,
+    )
 
 
 class ProposalMLP:
@@ -315,7 +309,7 @@ def distill_proposal(
     epochs: int = 4,
     lr: float = 2e-3,
     chunk: int = 65536,
-) -> Tuple[ProposalMLP, dict]:
+) -> Tuple[ProposalMLP, dict, float]:
     """Distill the trained density field into a ProposalMLP: regress
     log1p(sigma) at uniform points in the aabb (the same target transform
     instant-style occupancy caches use — compresses the dynamic range so

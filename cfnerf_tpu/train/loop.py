@@ -357,8 +357,15 @@ def train(args) -> None:
             n_candidates=args.occ_candidates,
             floor=args.occ_floor,
         )
+        if occ_from <= max(start, 0):
+            print("WARNING: --occ_train with no dense warmup "
+                  f"(--occ_train_from {occ_from} <= start {start}): the "
+                  "proposal will be distilled from the current (possibly "
+                  "untrained) field; a warmup of a few thousand dense steps "
+                  "is the validated recipe (EVAL_r07)", flush=True)
         print(f"occ training: N={occ_n} proposal-placed samples/ray from "
               f"step {occ_from} (dense N={args.N_samples} warmup before), "
+              f"floor {args.occ_floor}, C={args.occ_candidates}, "
               f"aabb {np.asarray(occ_lo).round(3)}..{np.asarray(occ_hi).round(3)}")
 
     k_stages = None
@@ -549,6 +556,9 @@ def train(args) -> None:
                 }
                 if "depth_loss" in metrics:
                     scalars["train/depth_loss"] = metrics["depth_loss"]
+                if "prop_loss" in metrics:
+                    # occ stage: proposal co-training fit (log1p-sigma MSE)
+                    scalars["train/prop_loss"] = metrics["prop_loss"]
                 logger.scalars(i, scalars)
                 logger.console(i, scalars, args.colmap_depth)
 

@@ -147,13 +147,17 @@ def main():
     ap.add_argument("--eval_occ_impl", default="auto",
                     help="passthrough to --occ_impl (auto|grid|proposal)")
     ap.add_argument("--eval_occ_res", type=int, default=128)
-    ap.add_argument("--eval_occ_candidates", type=int, default=192)
-    ap.add_argument("--eval_occ_floor", type=float, default=0.01)
+    ap.add_argument("--eval_occ_candidates", type=int, default=128)
+    ap.add_argument("--eval_occ_floor", type=float, default=0.3)
     ap.add_argument("--occ_train", type=int, default=0,
                     help="passthrough: proposal-placed training N")
     ap.add_argument("--occ_train_from", type=int, default=0,
                     help="passthrough: dense warmup steps before placed "
                          "sampling starts")
+    ap.add_argument("--occ_train_floor", type=float, default=0.3,
+                    help="uniform placement mass during occ training "
+                         "(--occ_floor on the train side; free-space "
+                         "coverage is a quality lever)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the checkpoint already in --outdir/logs "
                          "(eval-only A/Bs on one trained model)")
@@ -208,7 +212,8 @@ def main():
         flags += ["--k_schedule", args_demo.k_schedule]
     if args_demo.occ_train:
         flags += ["--occ_train", str(args_demo.occ_train),
-                  "--occ_train_from", str(args_demo.occ_train_from)]
+                  "--occ_train_from", str(args_demo.occ_train_from),
+                  "--occ_floor", str(args_demo.occ_train_floor)]
     import time as _time
     train_wall = 0.0
     if not args_demo.skip_train:
