@@ -55,63 +55,6 @@ def kde_nll_per_pixel(rgb_k: np.ndarray, gt: np.ndarray, k: int) -> np.ndarray:
     return -np.log(p)  # (H, W, 3)
 
 
-def _occ_wrap(render_rays_fn, args, scene, model, params, render_config):
-    """Bake the trained density into a voxel grid and wrap the renderer so
-    eval z placement comes from grid-composited visibility weights
-    (ops/occupancy.py).  The aabb comes from the TRAIN cameras' prepared
-    rays — same space the renderer samples in (NDC-transformed when the
-    run uses NDC)."""
-    import time
-
-    from cfnerf_tpu.ops.occupancy import (
-        aabb_from_scene,
-        bake_density_grid,
-        make_density_fn,
-        make_occ_render_rays,
-    )
-
-    lo, hi = aabb_from_scene(scene, args)
-
-    dev_params = jax.tree_util.tree_map(jnp.asarray, params)
-    density_fn = make_density_fn(model, dev_params, render_config)
-
-    impl = args.occ_impl
-    if impl == "auto":
-        impl = "proposal" if jax.default_backend() == "tpu" else "grid"
-    t0 = time.time()
-    if impl == "proposal":
-        from cfnerf_tpu.ops.occupancy import (
-            distill_proposal,
-            make_placed_render_rays,
-            make_proposal_sigma_fn,
-        )
-
-        prop, pparams, dloss = distill_proposal(
-            density_fn, lo, hi, jax.random.PRNGKey(args.seed or 0)
-        )
-        print(f"proposal MLP distilled in {time.time() - t0:.1f}s "
-              f"(final log1p-sigma MSE {dloss:.4f})")
-        return make_placed_render_rays(
-            render_rays_fn,
-            make_proposal_sigma_fn(prop, pparams, lo, hi),
-            render_config.n_samples,
-            n_candidates=args.occ_candidates, floor=args.occ_floor,
-        )
-
-    grid = bake_density_grid(
-        density_fn, lo, hi, resolution=args.occ_res, dilate=args.occ_dilate
-    )
-    grid.block_until_ready()
-    occupied = float((grid > 1e-2).mean())
-    print(f"occupancy grid baked in {time.time() - t0:.1f}s: "
-          f"{args.occ_res}^3, {100 * occupied:.1f}% occupied (sigma > 1e-2)")
-
-    return make_occ_render_rays(
-        render_rays_fn, grid, lo, hi, render_config.n_samples,
-        n_candidates=args.occ_candidates, floor=args.occ_floor,
-    )
-
-
 def evaluate(args) -> Dict[str, float]:
     scene = load_dataset(args)
     H, W, focal = scene["H"], scene["W"], scene["focal"]
@@ -176,7 +119,9 @@ def evaluate(args) -> Dict[str, float]:
     )
 
     if occ_n > 0:
-        render_rays_fn = _occ_wrap(
+        from cfnerf_tpu.ops.occupancy import wrap_renderer_for_serving
+
+        render_rays_fn = wrap_renderer_for_serving(
             render_rays_fn, args, scene, model, params, render_config
         )
 

@@ -452,6 +452,52 @@ def aabb_from_scene(scene: dict, args) -> Tuple[jnp.ndarray, jnp.ndarray]:
     )
 
 
+def wrap_renderer_for_serving(
+    render_rays_fn, args, scene, model, params, render_config
+):
+    """Serving entry shared by cli.eval and the --render_only path: build
+    the density proxy from the trained checkpoint (proposal MLP on TPU,
+    voxel grid otherwise / --occ_impl) and wrap `render_rays_fn` (already
+    built at the PLACED n_samples) so z placement comes from proxy-
+    composited visibility weights.  The aabb comes from the TRAIN cameras'
+    prepared rays — the same space the renderer samples in (NDC-transformed
+    when the run uses NDC)."""
+    import time
+
+    lo, hi = aabb_from_scene(scene, args)
+    dev_params = jax.tree_util.tree_map(jnp.asarray, params)
+    density_fn = make_density_fn(model, dev_params, render_config)
+
+    impl = args.occ_impl
+    if impl == "auto":
+        impl = "proposal" if jax.default_backend() == "tpu" else "grid"
+    t0 = time.time()
+    if impl == "proposal":
+        prop, pparams, dloss = distill_proposal(
+            density_fn, lo, hi, jax.random.PRNGKey(args.seed or 0)
+        )
+        print(f"proposal MLP distilled in {time.time() - t0:.1f}s "
+              f"(final log1p-sigma MSE {dloss:.4f})")
+        return make_placed_render_rays(
+            render_rays_fn,
+            make_proposal_sigma_fn(prop, pparams, lo, hi),
+            render_config.n_samples,
+            n_candidates=args.occ_candidates, floor=args.occ_floor,
+        )
+
+    grid = bake_density_grid(
+        density_fn, lo, hi, resolution=args.occ_res, dilate=args.occ_dilate
+    )
+    grid.block_until_ready()
+    occupied = float((grid > 1e-2).mean())
+    print(f"occupancy grid baked in {time.time() - t0:.1f}s: "
+          f"{args.occ_res}^3, {100 * occupied:.1f}% occupied (sigma > 1e-2)")
+    return make_occ_render_rays(
+        render_rays_fn, grid, lo, hi, render_config.n_samples,
+        n_candidates=args.occ_candidates, floor=args.occ_floor,
+    )
+
+
 def make_density_fn(
     model, params, config, reduce: str = "mean"
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:

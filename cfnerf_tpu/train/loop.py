@@ -267,6 +267,24 @@ def train(args) -> None:
     # --- render_only shortcut (reference :833-851) ---
     if args.render_only:
         print("RENDER ONLY")
+        occ_serve = int(getattr(args, "occ_eval", 0) or 0)
+        if occ_serve > 0 and model_fine is None:
+            # occupancy-accelerated serving for spiral/test renders: rebuild
+            # the test renderer at the placed N, then wrap with the proxy
+            import dataclasses as _dc
+
+            from cfnerf_tpu.ops.occupancy import wrap_renderer_for_serving
+
+            rc_serve = _dc.replace(render_config, n_samples=occ_serve)
+            render_rays_test = make_render_rays(
+                model_apply, rc_serve, fine_apply,
+                make_fused_apply(model, rc_serve.fused),
+            )
+            render_rays_test = wrap_renderer_for_serving(
+                render_rays_test, args, scene, model, params, rc_serve
+            )
+            print(f"occupancy serving: N={occ_serve} placed samples/ray "
+                  f"(trained at N={render_config.n_samples})")
         render_poses = (
             scene["poses"][scene["i_val"]] if args.render_test else scene["render_poses"]
         )

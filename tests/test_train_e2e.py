@@ -64,6 +64,19 @@ def test_blender_train_ckpt_resume_render(tmp_path):
     pngs = glob.glob(os.path.join(outdirs[0], "*.png"))
     assert pngs  # rgb + std images written
 
+    # occupancy-accelerated render_only: grid-backed serving at a smaller
+    # placed N on the same checkpoint (grid impl — the CPU backend)
+    args4 = _base_args(datadir, basedir, extra=[
+        "--render_test", "--render_factor", "2",
+        "--occ_eval", "8", "--occ_impl", "grid", "--occ_res", "16",
+        "--occ_candidates", "32",
+    ])
+    args4.is_train = False
+    args4.render_only = True
+    train(args4)
+    pngs_occ = glob.glob(os.path.join(outdirs[0], "*.png"))
+    assert pngs_occ  # serving path wrote frames without crashing
+
 
 @pytest.mark.slow
 def test_llff_train_smoke(tmp_path):
