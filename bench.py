@@ -288,20 +288,17 @@ def _sweep(fn, combos, label):
 
 
 def main():
+    # combos trimmed to the historical winners + one fallback each (the
+    # full grids were swept in rounds 1-5; wall budget now goes to the
+    # operating/student/serving points below)
     train_combos = [
-        dict(batch_size=2048, remat=False, n_inner=20),
         dict(batch_size=2048, remat=False, n_inner=40),
-        # the fused render core freed the raw/composite HBM buffers, so
-        # larger batches fit without remat — sweep them
         dict(batch_size=4096, remat=False, n_inner=20),
-        dict(batch_size=4096, remat=False),
         dict(batch_size=8192, remat=False),
-        dict(batch_size=8192, remat=True),
     ]
     train_best, train_cfg = _sweep(bench_train, train_combos, "train")
 
     infer_combos = [
-        dict(batch_size=8192),
         dict(batch_size=16384),
         dict(batch_size=32768),
     ]
@@ -312,7 +309,6 @@ def main():
     # at N=48; the quality evidence incl. seed spread lives in EVAL_r04.json
     op_train_combos = [
         dict(batch_size=4096, remat=False, n_inner=20, n_samples=48),
-        dict(batch_size=8192, remat=False, n_samples=48),
         dict(batch_size=16384, remat=False, n_samples=48),
     ]
     op_train_best, op_train_cfg = _sweep(bench_train, op_train_combos, "op_train")
