@@ -56,16 +56,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place every array in a batch pytree with its ray axis sharded."""
+    """Place every array in a batch pytree with its ray axis sharded.
+    Rank-0 leaves (per-step scalars, e.g. the annealed occ floor) are
+    replicated."""
     sharding = ray_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    rep = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding if np.ndim(x) >= 1 else rep),
+        batch,
+    )
 
 
 def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
     """For scan-trainer batches (n_inner, R, ...): replicate the inner-step
-    axis, shard the ray axis (axis 1) across the data mesh axis."""
+    axis, shard the ray axis (axis 1) across the data mesh axis.  Leaves
+    with only the inner-step axis (per-step scalars) are replicated."""
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    rep = NamedSharding(mesh, P(None))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding if np.ndim(x) >= 2 else rep),
+        batch,
+    )
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

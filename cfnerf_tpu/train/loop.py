@@ -98,6 +98,18 @@ def k_for_step(stages, step: int) -> int:
     return k
 
 
+def occ_floor_for_step(step: int, occ_from: int, anneal: int,
+                       floor_start: float, floor_end: float) -> float:
+    """Linear placement-floor schedule for the occ stage
+    (--occ_floor_anneal): floor_start at the boundary (1.0 ~= uniform
+    stratified placement), floor_end once `anneal` steps have passed.
+    Indexed by GLOBAL step so resume lands at the right point."""
+    if anneal <= 0:
+        return floor_end
+    t = min(max((step - occ_from) / anneal, 0.0), 1.0)
+    return floor_start + (floor_end - floor_start) * t
+
+
 def load_dataset(args):
     """Dataset dispatch (reference :730-801). Returns a dict of scene data."""
     if args.dataset_type == "llff":
@@ -358,6 +370,9 @@ def train(args) -> None:
     # --- occ stage config (proposal-placed training, step.OccTrainConfig) ---
     occ_n = int(getattr(args, "occ_train", 0) or 0)
     occ_from = int(getattr(args, "occ_train_from", 0) or 0)
+    occ_until = int(getattr(args, "occ_train_until", 0) or 0)
+    occ_anneal = int(getattr(args, "occ_floor_anneal", 0) or 0)
+    occ_floor_start = float(getattr(args, "occ_floor_start", 1.0))
     occ_cfg = None
     if occ_n > 0:
         import dataclasses
@@ -375,15 +390,23 @@ def train(args) -> None:
             n_candidates=args.occ_candidates,
             floor=args.occ_floor,
         )
-        if occ_from <= max(start, 0):
+        if occ_until > 0 and occ_until <= occ_from:
+            raise ValueError(f"--occ_train_until {occ_until} must be > "
+                             f"--occ_train_from {occ_from}")
+        if occ_from <= max(start, 0) and occ_anneal <= 0:
             print("WARNING: --occ_train with no dense warmup "
                   f"(--occ_train_from {occ_from} <= start {start}): the "
                   "proposal will be distilled from the current (possibly "
-                  "untrained) field; a warmup of a few thousand dense steps "
-                  "is the validated recipe (EVAL_r07)", flush=True)
+                  "untrained) field; warm up with a few thousand dense "
+                  "steps (EVAL_r07) or anneal the floor from uniform "
+                  "(--occ_floor_anneal)", flush=True)
+        until_s = f" until step {occ_until}" if occ_until > 0 else ""
+        anneal_s = (f", floor {occ_floor_start}->{args.occ_floor} over "
+                    f"{occ_anneal} steps" if occ_anneal > 0
+                    else f", floor {args.occ_floor}")
         print(f"occ training: N={occ_n} proposal-placed samples/ray from "
-              f"step {occ_from} (dense N={args.N_samples} warmup before), "
-              f"floor {args.occ_floor}, C={args.occ_candidates}, "
+              f"step {occ_from}{until_s} (dense N={args.N_samples} "
+              f"otherwise){anneal_s}, C={args.occ_candidates}, "
               f"aabb {np.asarray(occ_lo).round(3)}..{np.asarray(occ_hi).round(3)}")
 
     k_stages = None
@@ -506,6 +529,7 @@ def train(args) -> None:
             i_prev = i
             rng, krng = jax.random.split(rng)
             step_fn, loop_fn = train_step, (train_loop_fn if n_inner > 1 else None)
+            occ_on = False
             if _stage_cache is not None:
                 # the upcoming dispatch trains steps i+1 .. i+n_inner, so
                 # the stage is selected by the FIRST step it will train
@@ -515,8 +539,20 @@ def train(args) -> None:
                     k_for_step(k_stages, i + 1)
                     if k_stages is not None else args.K_samples
                 )
-                occ_on = occ_cfg is not None and (i + 1) >= occ_from
+                occ_on = (
+                    occ_cfg is not None
+                    and (i + 1) >= occ_from
+                    and (occ_until <= 0 or (i + 1) < occ_until)
+                )
                 step_fn, loop_fn = _stage_builders(k_cur, occ_on)
+                if not occ_on and occ_wrapped[0]:
+                    # occ -> dense cooldown boundary (--occ_train_until):
+                    # drop the (prop_params, prop_opt) riders so the dense
+                    # step sees a raw optimizer state again
+                    opt_state = opt_state[0]
+                    occ_wrapped[0] = False
+                    print(f"occ stage ended at step {i + 1}: dense "
+                          f"N={args.N_samples} cooldown")
                 if occ_on and not occ_wrapped[0]:
                     # occ-stage boundary (or resume into it): distill the
                     # proposal from the CURRENT field, wrap the optimizer
@@ -545,12 +581,24 @@ def train(args) -> None:
                           f"training at N={occ_n} placed samples")
             if n_inner == 1:
                 i, batch = prefetcher.next()
+                if occ_on and occ_anneal > 0:
+                    batch = dict(batch)
+                    batch["occ_floor"] = np.float32(occ_floor_for_step(
+                        i, occ_from, occ_anneal, occ_floor_start,
+                        args.occ_floor))
                 params, opt_state, metrics = step_fn(params, opt_state, batch, krng)
             else:
                 samples = [_sample_batch(i + 1 + j) for j in range(n_inner)]
                 stacked = {
                     k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
+                if occ_on and occ_anneal > 0:
+                    # per-inner-step traced floors: the schedule advances
+                    # inside the scan at zero recompiles
+                    stacked["occ_floor"] = np.asarray(
+                        [occ_floor_for_step(i + 1 + j, occ_from, occ_anneal,
+                                            occ_floor_start, args.occ_floor)
+                         for j in range(n_inner)], np.float32)
                 stacked = shard_stacked_batch(mesh, stacked)  # one upload
                 i += n_inner
                 params, opt_state, metrics = loop_fn(params, opt_state, stacked, krng)

@@ -234,12 +234,15 @@ def make_train_step(
             sigma_fn = make_proposal_sigma_fn(prop, prop_params, occ_lo, occ_hi)
             # stratified u draws (train-mode placement jitter); placement is
             # not differentiated — the proposal learns from its own
-            # co-training loss, not through the render
+            # co-training loss, not through the render.  The floor may ride
+            # in the batch as a traced per-step scalar (--occ_floor_anneal)
+            # so the schedule costs zero recompiles.
+            floor = batch.get("occ_floor", occ.floor)
             z_vals = jax.lax.stop_gradient(
                 place_from_sigma(
                     sigma_fn, rays_o, rays_d, near_v, far_v,
                     render_config.n_samples,
-                    n_candidates=occ.n_candidates, floor=occ.floor,
+                    n_candidates=occ.n_candidates, floor=floor,
                     rng=rng_place,
                 )
             )

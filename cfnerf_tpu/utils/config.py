@@ -195,6 +195,26 @@ def config_parser() -> ConfigArgumentParser:
                              "operating point for BOTH --occ_eval and "
                              "--occ_train — EVAL_r06/r07; 0.01 measured "
                              "-3 dB on occ training)")
+    parser.add_argument("--occ_floor_start", type=float, default=1.0,
+                        help="with --occ_floor_anneal: the floor value at "
+                             "the occ-stage boundary (1.0 = near-uniform "
+                             "placement, i.e. stratified sampling) before "
+                             "annealing down to --occ_floor")
+    parser.add_argument("--occ_floor_anneal", type=int, default=0,
+                        help="anneal the placement floor linearly from "
+                             "--occ_floor_start to --occ_floor over this "
+                             "many steps after --occ_train_from (0 = static "
+                             "floor).  Softens the dense->placed boundary "
+                             "and enables --occ_train_from 0 (no dense "
+                             "warmup): placement starts uniform while the "
+                             "proposal co-trains from scratch")
+    parser.add_argument("--occ_train_until", type=int, default=0,
+                        help="global step at which placed sampling ends and "
+                             "training returns to the dense N_samples "
+                             "schedule (0 = train placed to the end).  A "
+                             "short dense cooldown re-exposes the full ray "
+                             "to the K-sample machinery (calibration/NLL "
+                             "recovery lever)")
     parser.add_argument("--occ_dilate", type=int, default=1,
                         help="3x3x3 max-pool dilation passes on the baked grid")
     parser.add_argument("--perturb", type=float, default=1.0)

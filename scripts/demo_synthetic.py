@@ -154,6 +154,15 @@ def main():
     ap.add_argument("--occ_train_from", type=int, default=0,
                     help="passthrough: dense warmup steps before placed "
                          "sampling starts")
+    ap.add_argument("--occ_train_until", type=int, default=0,
+                    help="passthrough: end placed training at this step "
+                         "and cool down dense (NLL/calibration lever)")
+    ap.add_argument("--occ_floor_anneal", type=int, default=0,
+                    help="passthrough: anneal the placement floor from "
+                         "--occ_floor_start to --occ_train_floor over this "
+                         "many steps after the occ boundary")
+    ap.add_argument("--occ_floor_start", type=float, default=1.0,
+                    help="passthrough: anneal start floor (1.0 ~= uniform)")
     ap.add_argument("--occ_train_floor", type=float, default=0.3,
                     help="uniform placement mass during occ training "
                          "(--occ_floor on the train side; free-space "
@@ -214,6 +223,11 @@ def main():
         flags += ["--occ_train", str(args_demo.occ_train),
                   "--occ_train_from", str(args_demo.occ_train_from),
                   "--occ_floor", str(args_demo.occ_train_floor)]
+        if args_demo.occ_train_until:
+            flags += ["--occ_train_until", str(args_demo.occ_train_until)]
+        if args_demo.occ_floor_anneal:
+            flags += ["--occ_floor_anneal", str(args_demo.occ_floor_anneal),
+                      "--occ_floor_start", str(args_demo.occ_floor_start)]
     import time as _time
     train_wall = 0.0
     if not args_demo.skip_train:

@@ -55,6 +55,96 @@ def _batch(R=64, seed=0):
     }
 
 
+def test_occ_floor_schedule():
+    """occ_floor_for_step: linear anneal indexed by GLOBAL step (resume
+    lands mid-schedule correctly), clamped both sides, off -> end floor."""
+    from cfnerf_tpu.train.loop import occ_floor_for_step
+
+    assert occ_floor_for_step(0, 100, 0, 1.0, 0.3) == 0.3       # anneal off
+    assert occ_floor_for_step(50, 100, 10, 1.0, 0.3) == 1.0     # pre-boundary
+    assert occ_floor_for_step(100, 100, 10, 1.0, 0.3) == 1.0    # boundary
+    assert occ_floor_for_step(105, 100, 10, 1.0, 0.3) == pytest.approx(0.65)
+    assert occ_floor_for_step(110, 100, 10, 1.0, 0.3) == pytest.approx(0.3)
+    assert occ_floor_for_step(9999, 100, 10, 1.0, 0.3) == pytest.approx(0.3)
+
+
+def test_place_floor_traced_and_uniform_limit():
+    """The placement floor works as a traced scalar (one compile serves the
+    whole anneal schedule) and a dominant floor recovers uniform placement:
+    inverse-CDF of a uniform pdf is the identity, so det z == linspace."""
+    from cfnerf_tpu.ops.occupancy import place_from_sigma
+
+    R, N = 8, 12
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(rng.randn(R, 3) * 0.1, jnp.float32)
+    rays_d = jnp.asarray(
+        np.concatenate([rng.randn(R, 2) * 0.05, -np.ones((R, 1))], -1),
+        jnp.float32,
+    )
+    sigma_fn = lambda pts: jnp.exp(-jnp.sum(pts**2, -1))  # peaked proxy
+
+    traces = []
+
+    @jax.jit
+    def place(floor):
+        traces.append(1)
+        return place_from_sigma(
+            sigma_fn, rays_o, rays_d, 0.5, 4.0, N,
+            n_candidates=32, floor=floor,
+        )
+
+    z_hi = place(jnp.float32(1e6))
+    z_lo = place(jnp.float32(0.01))
+    assert len(traces) == 1  # floor is traced, not baked
+    assert not np.allclose(z_hi, z_lo)
+    expect = 0.5 + np.linspace(0.0, 1.0, N, dtype=np.float32) * 3.5
+    np.testing.assert_allclose(np.asarray(z_hi), np.tile(expect, (R, 1)),
+                               rtol=0, atol=2e-3)
+
+
+def test_occ_step_reads_floor_from_batch():
+    """--occ_floor_anneal rides the floor in the batch: the SAME compiled
+    occ step takes different placements (hence losses) per floor value."""
+    occ = OccTrainConfig(lo=(-2.0, -2.0, -4.5), hi=(2.0, 2.0, 0.5),
+                         n_candidates=32, cotrain_points=256)
+    model, params, step, tx = _setup(occ)
+    prop = ProposalMLP(width=occ.prop_width, depth=occ.prop_depth,
+                       multires=occ.prop_multires)
+    wrapped = step._wrap_state(tx.init(params), prop.init(jax.random.PRNGKey(1)))
+    b = _batch()
+    rng = jax.random.PRNGKey(3)
+
+    def run(floor):
+        bb = dict(b)
+        bb["occ_floor"] = jnp.float32(floor)
+        _, _, m = step(params, wrapped, bb, rng)
+        return float(m["loss"])
+
+    l_uniform, l_peaked = run(1.0), run(0.01)
+    assert np.isfinite([l_uniform, l_peaked]).all()
+    assert l_uniform != l_peaked
+
+
+def test_shard_batch_scalar_leaves():
+    """Per-step scalar leaves (the annealed floor) replicate instead of
+    taking the ray sharding; stacked (n_inner,) leaves likewise."""
+    from cfnerf_tpu.parallel.mesh import (
+        create_mesh, shard_batch, shard_stacked_batch,
+    )
+
+    mesh = create_mesh(8)
+    b = shard_batch(mesh, {"rays_o": np.zeros((16, 3), np.float32),
+                           "occ_floor": np.float32(0.5)})
+    assert b["occ_floor"].shape == ()
+    assert float(b["occ_floor"]) == 0.5
+    s = shard_stacked_batch(
+        mesh, {"rays_o": np.zeros((4, 16, 3), np.float32),
+               "occ_floor": np.linspace(1.0, 0.3, 4).astype(np.float32)})
+    assert s["occ_floor"].shape == (4,)
+    np.testing.assert_allclose(np.asarray(s["occ_floor"]),
+                               np.linspace(1.0, 0.3, 4), rtol=1e-6)
+
+
 def test_occ_step_updates_field_and_proposal():
     occ = OccTrainConfig(lo=(-2.0, -2.0, -4.5), hi=(2.0, 2.0, 0.5),
                          n_candidates=32, cotrain_points=512)
@@ -86,7 +176,7 @@ def test_occ_train_cli_stage_boundary_ckpt_resume(tmp_path):
     datadir = make_blender_dataset(str(tmp_path / "lego"), H=8, W=8, n_val=1)
     basedir = str(tmp_path / "logs")
 
-    def argv(n_iters):
+    def argv(n_iters, extra=()):
         return parse_args([
             "--expname", "e", "--dataname", "tiny", "--basedir", basedir,
             "--datadir", datadir, "--dataset_type", "blender",
@@ -98,13 +188,17 @@ def test_occ_train_cli_stage_boundary_ckpt_resume(tmp_path):
             "--occ_train", "8", "--occ_train_from", "4",
             "--occ_candidates", "16",
             "--n_iters", str(n_iters), "--i_print", "4", "--i_weights", "6",
-            "--i_img", "0", "--chunk", "64", "--is_train",
+            "--i_img", "0", "--chunk", "64", "--is_train", *extra,
         ])
 
     train(argv(8))  # crosses the occ boundary at step 4, saves at 6
     rundir = os.path.join(basedir, "tiny", "triangular", "e")
     assert any(f.startswith("000006") for f in os.listdir(rundir))
-    train(argv(12))  # resumes at 6 INSIDE the occ stage -> re-distills
+    # resume at 6 INSIDE the occ stage (re-distills), with the floor anneal
+    # riding in the batch, through the scan trainer, across the
+    # --occ_train_until boundary back into a dense cooldown (state unwrap)
+    train(argv(12, ("--occ_floor_anneal", "4", "--occ_train_until", "10",
+                    "--n_inner", "2")))
     mfile = os.path.join(basedir, "tiny", "summaries", "e", "metrics.jsonl")
     steps = [int(__import__("json").loads(l)["step"]) for l in open(mfile)]
     assert max(steps) >= 12
