@@ -41,6 +41,16 @@ def main() -> None:
         "--k_schedule", default="8:0,16:1200,32:2400",
         help="the EVAL_r04 operating-point schedule (quality-positive)",
     )
+    ap.add_argument("--occ_train", type=int, default=0,
+                    help="proposal-placed training N on the NDC real-capture "
+                         "path (0 = dense; EVAL_r07 recipe)")
+    ap.add_argument("--occ_train_from", type=int, default=0)
+    ap.add_argument("--occ_train_until", type=int, default=0)
+    ap.add_argument("--occ_floor_anneal", type=int, default=0)
+    ap.add_argument("--occ_floor_start", type=float, default=1.0)
+    ap.add_argument("--occ_train_floor", type=float, default=0.3)
+    ap.add_argument("--out", default="",
+                    help="also copy summary.json to this path")
     opts = ap.parse_args()
 
     from cfnerf_tpu.cli.eval import evaluate
@@ -70,6 +80,15 @@ def main() -> None:
         "--i_print", "500", "--i_weights", str(opts.n_iters),
         "--i_img", "0", "--chunk", "8192",
     ]
+    if opts.occ_train:
+        flags += ["--occ_train", str(opts.occ_train),
+                  "--occ_train_from", str(opts.occ_train_from),
+                  "--occ_floor", str(opts.occ_train_floor)]
+        if opts.occ_train_until:
+            flags += ["--occ_train_until", str(opts.occ_train_until)]
+        if opts.occ_floor_anneal:
+            flags += ["--occ_floor_anneal", str(opts.occ_floor_anneal),
+                      "--occ_floor_start", str(opts.occ_floor_start)]
 
     t0 = time.time()
     train(parse_args(flags + ["--is_train"]))
@@ -85,6 +104,9 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"wrote {out}")
+    if opts.out:
+        shutil.copyfile(out, opts.out)
+        print(f"copied to {opts.out}")
 
 
 if __name__ == "__main__":

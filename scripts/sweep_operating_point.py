@@ -73,6 +73,15 @@ def run_one(name, cfg, iters, outdir, log_fh):
         cmd += ["--eval_N_samples", str(cfg["eval_N_samples"])]
     if cfg.get("eval_N_importance"):
         cmd += ["--eval_N_importance", str(cfg["eval_N_importance"])]
+    # occ-training passthroughs (r08 annealing/cooldown studies); zero values
+    # match the demo defaults so falsy keys can simply be omitted
+    for k in ("occ_train", "occ_train_from", "occ_train_until",
+              "occ_floor_anneal"):
+        if cfg.get(k):
+            cmd += [f"--{k}", str(cfg[k])]
+    for k in ("occ_train_floor", "occ_floor_start"):
+        if cfg.get(k) is not None:
+            cmd += [f"--{k}", str(cfg[k])]
     if cfg["k_schedule"]:
         cmd += ["--k_schedule", cfg["k_schedule"]]
     env = dict(os.environ)
