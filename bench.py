@@ -139,7 +139,7 @@ def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
                 remat: bool = False, n_samples: int = N_SAMPLES,
                 k_samples: int = K_SAMPLES, net_width: int = W,
                 net_depth: int = D, occ_n: int = 0,
-                occ_candidates: int = 128) -> float:
+                occ_candidates: int = 128, return_all: bool = False):
     """occ_n > 0: the occ-stage step (proposal-placed sampling at occ_n
     samples/ray + in-step proposal co-training, train/step.py
     OccTrainConfig) — the real per-step cost including placement and the
@@ -182,20 +182,21 @@ def bench_train(batch_size: int, *, n_inner: int = 10, rounds: int = 3,
     params, opt_state, metrics = train_loop(params, opt_state, batches, key)
     _ = float(metrics["loss"][-1])  # compile + honest fence
 
-    best = 0.0
+    rates = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         params, opt_state, metrics = train_loop(params, opt_state, batches, key)
         _ = float(metrics["loss"][-1])
-        best = max(best, batch_size * n_inner / (time.perf_counter() - t0))
-    return best
+        rates.append(batch_size * n_inner / (time.perf_counter() - t0))
+    return rates if return_all else max(rates)
 
 
 def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10,
                     n_samples: int = N_SAMPLES,
                     k_samples: int = K_SAMPLES, net_width: int = W,
                     net_depth: int = D, occ_n: int = 0, occ_res: int = 128,
-                    occ_candidates: int = 192, occ_impl: str = "proposal") -> float:
+                    occ_candidates: int = 192, occ_impl: str = "proposal",
+                    return_all: bool = False):
     """Test-mode K-sample render throughput (fixed eps, no grad).
 
     occ_n > 0: occupancy-accelerated serving path (ops/occupancy.py) —
@@ -265,26 +266,38 @@ def bench_inference(batch_size: int, *, rounds: int = 3, n_reps: int = 10,
         return jax.lax.fori_loop(0, n_reps, body, 0.0)
 
     _ = float(run(params, ro, rd, vd, near, far))  # compile
-    best = 0.0
+    rates = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         _ = float(run(params, ro, rd, vd, near, far))
-        best = max(best, batch_size * n_reps / (time.perf_counter() - t0))
-    return best
+        rates.append(batch_size * n_reps / (time.perf_counter() - t0))
+    return rates if return_all else max(rates)
+
+
+def _spread_pct(rates) -> float:
+    """(max-min)/mean of the per-round rates, in % — the within-process
+    timing-noise bound for classifying round-over-round headline drift
+    (VERDICT r02 weak-item 3: r01->r02 drifted -2.7% with no variance
+    context)."""
+    if not rates or len(rates) < 2:
+        return 0.0
+    return 100.0 * (max(rates) - min(rates)) / (sum(rates) / len(rates))
 
 
 def _sweep(fn, combos, label):
-    best, best_cfg = 0.0, None
+    best, best_cfg, best_rates = 0.0, None, []
     for combo in combos:
         try:
-            rps = fn(**combo)
-            print(f"# {label} {combo}: {rps:,.0f} rays/s", file=sys.stderr)
+            rates = fn(**combo, return_all=True)
+            rps = max(rates)
+            print(f"# {label} {combo}: {rps:,.0f} rays/s "
+                  f"(spread {_spread_pct(rates):.1f}%)", file=sys.stderr)
             if rps > best:
-                best, best_cfg = rps, combo
+                best, best_cfg, best_rates = rps, combo, rates
         except Exception as e:
             print(f"# {label} {combo}: failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
-    return best, best_cfg
+    return best, best_cfg, best_rates
 
 
 def main():
@@ -296,13 +309,13 @@ def main():
         dict(batch_size=4096, remat=False, n_inner=20),
         dict(batch_size=8192, remat=False),
     ]
-    train_best, train_cfg = _sweep(bench_train, train_combos, "train")
+    train_best, train_cfg, train_rates = _sweep(bench_train, train_combos, "train")
 
     infer_combos = [
         dict(batch_size=16384),
         dict(batch_size=32768),
     ]
-    infer_best, infer_cfg = _sweep(bench_inference, infer_combos, "infer")
+    infer_best, infer_cfg, infer_rates = _sweep(bench_inference, infer_combos, "infer")
 
     # operating point (EVAL_r04: N_samples=48 + K-schedule — the best
     # quality-per-wall config in the r04 screen) — raw ray throughput
@@ -311,8 +324,8 @@ def main():
         dict(batch_size=4096, remat=False, n_inner=20, n_samples=48),
         dict(batch_size=16384, remat=False, n_samples=48),
     ]
-    op_train_best, op_train_cfg = _sweep(bench_train, op_train_combos, "op_train")
-    op_infer_best, op_infer_cfg = _sweep(
+    op_train_best, op_train_cfg, _ = _sweep(bench_train, op_train_combos, "op_train")
+    op_infer_best, op_infer_cfg, _ = _sweep(
         bench_inference,
         [dict(batch_size=32768, n_samples=48), dict(batch_size=65536, n_samples=48)],
         "op_infer",
@@ -335,12 +348,12 @@ def main():
 
     # student trunk (EVAL_r05: W384 at N48 — near-matched quality at
     # ~0.57x per-point FLOPs; quality deltas + seed spread in EVAL_r05.json)
-    st_train_best, st_train_cfg = _sweep(
+    st_train_best, st_train_cfg, _ = _sweep(
         bench_train,
         [dict(batch_size=16384, remat=False, n_samples=48, net_width=384)],
         "student_train",
     )
-    st_infer_best, st_infer_cfg = _sweep(
+    st_infer_best, st_infer_cfg, _ = _sweep(
         bench_inference,
         [dict(batch_size=131072, n_samples=48, net_width=384)],
         "student_infer",
@@ -361,7 +374,7 @@ def main():
     # W384 student — quality matched to the dense N48 eval at N=16 placed
     # samples, table + ablations in EVAL_r06.json).  This is the K-sample
     # inference path a deployment would run.
-    sv_best, sv_cfg = _sweep(
+    sv_best, sv_cfg, _ = _sweep(
         bench_inference,
         [
             dict(batch_size=32768, net_width=384, occ_n=16, occ_candidates=128),
@@ -376,12 +389,29 @@ def main():
         "config": f"infer={sv_cfg}",
         "quality_evidence": "EVAL_r06.json (matched PSNR/SSIM/AUSE vs dense N48)",
         "vs_north_star": round(sv_best / 1_000_000.0, 4),
+        # the serving CURVE (EVAL_r06 measurements, same checkpoint; deltas
+        # vs its dense-N48 eval 30.46 dB / 0.9734 / -6.46 nat / 0.0577):
+        # pick N by the metric that matters — N16 clears 1M rays/s at
+        # matched PSNR/SSIM/AUSE but KDE-NLL tightens +0.51 nat (K-spread
+        # concentration; --occ_floor is the recovery knob), N24/N32 BEAT
+        # dense on PSNR and hold AUSE at smaller NLL shifts.
+        "curve_r06": {
+            "N16_f0.30": {"rays_per_sec": 1372942, "psnr_delta": 0.011,
+                          "ssim_delta": -0.0011, "ause_delta": 0.0,
+                          "kde_nll_delta_nat": 0.506},
+            "N24_f0.15": {"rays_per_sec": 973139, "psnr_delta": 0.225,
+                          "ssim_delta": -0.0002, "ause_delta": -0.0016,
+                          "kde_nll_delta_nat": 0.350},
+            "N32_f0.15": {"rays_per_sec": 781568, "psnr_delta": 0.308,
+                          "ssim_delta": 0.0002, "ause_delta": -0.0017,
+                          "kde_nll_delta_nat": 0.216},
+        },
     }
 
     # occ-train point (EVAL_r07: proposal-placed TRAINING after a dense
     # warmup — beats the dense-trained baseline on PSNR/AUSE at these
     # throughputs; step cost includes placement + proposal co-training)
-    ot_best, ot_cfg = _sweep(
+    ot_best, ot_cfg, _ = _sweep(
         bench_train,
         [
             dict(batch_size=16384, remat=False, net_width=384, occ_n=16),
@@ -400,8 +430,10 @@ def main():
         "value": round(train_best, 1),
         "unit": "rays/s",
         "vs_baseline": round(train_best / baseline, 4),
+        "spread_pct": round(_spread_pct(train_rates), 2),
         "train_mfu": round(train_mfu, 4),
         "inference_rays_per_sec": round(infer_best, 1),
+        "inference_spread_pct": round(_spread_pct(infer_rates), 2),
         "inference_mfu": round(infer_mfu, 4),
         "train_gflop_per_ray": round(flops_per_ray(True) / 1e9, 3),
         "compute_ceiling_rays_per_sec": round(peak / flops_per_ray(True), 0),

@@ -168,17 +168,49 @@ def _snapshot_args(args, rundir: str) -> None:
 
 
 def _save_video(frames: np.ndarray, path: str, fps: int = 30) -> None:
-    """mp4 if ffmpeg is available; falls back to per-frame PNGs."""
+    """Write the spiral/test video (reference run_nerf_uncertainty_NF.py
+    :1102-1109 uses imageio.mimwrite, which needs an ffmpeg binary).
+
+    Encoder ladder: imageio/ffmpeg if a binary exists -> OpenCV mp4v
+    (self-contained codec, verified readable round-trip on this image) ->
+    per-frame PNGs as the last resort.  Grayscale frame stacks (the disp
+    video) are broadcast to 3 channels for the cv2 path.
+    """
     import imageio.v2 as imageio
 
+    frames8 = to8b(frames)
     try:
-        imageio.mimwrite(path, to8b(frames), fps=fps, quality=8)
-    except Exception as e:  # no ffmpeg backend
-        base = os.path.splitext(path)[0]
-        os.makedirs(base, exist_ok=True)
-        for i, fr in enumerate(frames):
-            imageio.imwrite(os.path.join(base, f"{i:03d}.png"), to8b(fr))
-        print(f"mp4 export unavailable ({e}); wrote PNG frames to {base}/")
+        imageio.mimwrite(path, frames8, fps=fps, quality=8)
+        return
+    except Exception as e:
+        ffmpeg_err = e
+    try:
+        import cv2
+
+        if frames8.ndim == 3:  # (T,H,W) grayscale, e.g. the disp video
+            frames8 = np.repeat(frames8[..., None], 3, axis=-1)
+        h, w = frames8.shape[1:3]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        if not writer.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open mp4v stream")
+        for fr in frames8:
+            writer.write(fr[..., ::-1])  # RGB -> BGR
+        writer.release()
+        if os.path.getsize(path) == 0:
+            raise RuntimeError("cv2 wrote an empty file")
+        print(f"mp4 written via OpenCV mp4v (imageio/ffmpeg unavailable: "
+              f"{ffmpeg_err})")
+        return
+    except Exception as e:
+        cv2_err = e
+    base = os.path.splitext(path)[0]
+    os.makedirs(base, exist_ok=True)
+    for i, fr in enumerate(frames8):
+        imageio.imwrite(os.path.join(base, f"{i:03d}.png"), fr)
+    print(f"mp4 export unavailable (ffmpeg: {ffmpeg_err}; cv2: {cv2_err}); "
+          f"wrote PNG frames to {base}/")
 
 
 def render_path(

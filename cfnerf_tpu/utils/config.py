@@ -163,8 +163,13 @@ def config_parser() -> ConfigArgumentParser:
                              "grid-composited visibility weights (0 = off). "
                              "A handful of gathers per ray replaces the "
                              "dense z-schedule, so inference throughput "
-                             "scales ~N_samples/occ_eval at matched quality "
-                             "(ops/occupancy.py)")
+                             "scales ~N_samples/occ_eval at matched "
+                             "PSNR/SSIM/AUSE (ops/occupancy.py).  KNOWN "
+                             "TRADEOFF: concentrating samples at surfaces "
+                             "tightens the K-sample spread, so KDE-NLL "
+                             "shifts ~+0.5 nat at N16 vs dense (EVAL_r06); "
+                             "raise --occ_floor (e.g. 0.3) to recover "
+                             "spread, or eval dense when NLL is the metric")
     parser.add_argument("--occ_train", type=int, default=0,
                         help="proposal-placed TRAINING: after a dense "
                              "warmup (--occ_train_from steps at N_samples), "

@@ -60,3 +60,27 @@ def test_sparsification_figure(tmp_path):
     by_var = oracle + 0.05
     save_sparsification_figure(p, oracle, by_var)
     assert os.path.getsize(p) > 1000
+
+
+def test_save_video_produces_readable_mp4(tmp_path):
+    # VERDICT r02 task 7: the reference's video deliverable
+    # (run_nerf_uncertainty_NF.py:1102-1109) must actually produce an mp4
+    # in this environment (no ffmpeg binary -> OpenCV mp4v encoder).
+    from cfnerf_tpu.train.loop import _save_video
+
+    rng = np.random.RandomState(3)
+    frames = rng.rand(6, 32, 48, 3).astype(np.float32)
+    path = str(tmp_path / "video.mp4")
+    _save_video(frames, path, fps=12)
+    assert os.path.exists(path) and os.path.getsize(path) > 500
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (32, 48, 3)
+
+    # grayscale stack (the disp video path)
+    path2 = str(tmp_path / "disp.mp4")
+    _save_video(rng.rand(4, 32, 48).astype(np.float32), path2, fps=12)
+    assert os.path.getsize(path2) > 500
