@@ -96,10 +96,16 @@ def ref_args(**overrides) -> types.SimpleNamespace:
 
 
 def _lin(sd, name):
-    """torch Linear state-dict entry -> flax {'kernel','bias'} (transposed)."""
+    """torch Linear state-dict entry -> flax {'kernel','bias'} (transposed).
+
+    Every leaf is COPIED: `tensor.detach().numpy()` aliases torch storage,
+    so an in-place torch optimizer step would silently mutate the ported
+    pytree (bit us in the lockstep parity harness — biases tracked the
+    torch Adam updates while kernels, copied by ascontiguousarray, did not).
+    """
     return {
         "kernel": np.ascontiguousarray(sd[f"{name}.weight"].detach().numpy().T),
-        "bias": sd[f"{name}.bias"].detach().numpy(),
+        "bias": sd[f"{name}.bias"].detach().numpy().copy(),
     }
 
 
@@ -128,7 +134,7 @@ def port_nerf_flows(ref_model, net_depth: int) -> dict:
     p["h_alpha_linear"] = _lin(sd, "h_alpha_linear")
     p["h_rgb_linear"] = _lin(sd, "h_rgb_linear")
     for name in ("alpha_mean", "alpha_std", "rgb_mean", "rgb_std"):
-        p[name] = sd[name].detach().numpy()
+        p[name] = sd[name].detach().numpy().copy()  # copy: see _lin
     p["flows_alpha"] = port_amortized(ref_model.flows_alpha)
     p["flows_rgb"] = port_amortized(ref_model.flows_rgb)
     return p
