@@ -208,7 +208,8 @@ def shared_val_metrics(rgb_ks, gts):
 # cfnerf_tpu trainer (CPU, same batches)
 # --------------------------------------------------------------------- #
 
-def train_ours(batches, poses, images, i_val, steps, log_every, seed=0):
+def train_ours(batches, poses, images, i_val, steps, log_every, seed=0,
+               matched_init=False):
     import jax
     import jax.numpy as jnp
 
@@ -226,9 +227,26 @@ def train_ours(batches, poses, images, i_val, steps, log_every, seed=0):
     tc = TrainConfig(H=H, W=W, focal=FOCAL, ndc=False, near=NEAR, far=FAR,
                      k_samples=K, lrate=LR, beta1=BETA1)
     step_fn, tx = make_train_step(model, rc, tc)
-    params = model.init(
-        jax.random.PRNGKey(1000 + seed), jnp.zeros((2, 90)), is_test=True
-    )["params"]
+    if matched_init:
+        # SAME weights as the reference arm: replicate train_reference's
+        # construction order exactly (args -> manual_seed -> model) and
+        # port via the golden-test weight port (removes init variance —
+        # the dominant seed-noise term in PARITY_r04, ref PSNR std 1.2 dB)
+        import torch
+
+        from reference_harness import install_reference, port_nerf_flows, ref_args
+
+        _, ref_models, _, _ = install_reference()
+        ref_args_ = ref_args(
+            netdepth=DEPTH, netwidth=WIDTH, K_samples=K, skips=SKIPS,
+            h_alpha_size=H_SIZE, h_rgb_size=H_SIZE, n_flows=N_FLOWS,
+        )
+        torch.manual_seed(seed)
+        params = port_nerf_flows(ref_models.NeRF_Flows(ref_args_), DEPTH)
+    else:
+        params = model.init(
+            jax.random.PRNGKey(1000 + seed), jnp.zeros((2, 90)), is_test=True
+        )["params"]
     opt_state = tx.init(params)
     rng = jax.random.PRNGKey(2000 + seed)
 
@@ -277,6 +295,12 @@ def main():
                          "parity); blob: robustly-learnable volumetric "
                          "scene (learning parity)")
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--matched_init", action="store_true",
+                    help="initialize OUR model from the reference's torch "
+                         "init at the same seed (golden-test weight port) — "
+                         "removes init variance so seed spread reflects only "
+                         "per-step RNG (eps draws, stratified jitter); the "
+                         "PARITY_r05 protocol")
     ap.add_argument("--log_every", type=int, default=25)
     ap.add_argument("--out", type=str, default="PARITY_r02.json")
     args = ap.parse_args()
@@ -307,15 +331,17 @@ def main():
     seeds = list(range(args.ref_seed, args.ref_seed + args.seeds))
     per_seed = []
     result = {
-        "experiment": f"synthetic {args.scene} scene, matched ray batches, "
-                      f"{args.seeds} seed(s) per side, CPU; PSNR/NLL/AUSE "
+        "experiment": f"synthetic {args.scene} scene, matched ray batches"
+                      + (", MATCHED INIT (torch init weight-ported to ours)"
+                         if args.matched_init else "")
+                      + f", {args.seeds} seed(s) per side, CPU; PSNR/NLL/AUSE "
                       "computed through ONE shared metric path "
                       "(shared_val_metrics) for both frameworks",
         "config": dict(H=H, W=W, n_train=N_TRAIN, n_val=N_VAL, depth=DEPTH,
                        width=WIDTH, n_samples=N_SAMPLES, k_samples=K,
                        n_flows=N_FLOWS, h_size=H_SIZE, lr=LR, beta1=BETA1,
                        batch=BATCH, steps=args.steps, seeds=seeds,
-                       scene=args.scene),
+                       scene=args.scene, matched_init=args.matched_init),
         "per_seed": per_seed,
     }
 
@@ -331,7 +357,7 @@ def main():
             t0 = time.time()
             traj, psnr, nll, au = train_ours(
                 batches, poses, images, i_val, args.steps, args.log_every,
-                seed=seed,
+                seed=seed, matched_init=args.matched_init,
             )
             entry["ours"] = {"val_psnr": psnr, "val_nll": nll,
                              "val_ause": au, "trajectory": traj,
