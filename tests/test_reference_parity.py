@@ -313,6 +313,25 @@ def test_nerf_flows_train_forward_parity():
     )
 
 
+def test_ported_params_independent_of_torch_updates():
+    """Regression: the weight port must COPY — `tensor.detach().numpy()`
+    aliases torch storage, so an in-place torch optimizer step used to
+    mutate ported biases/mean-std heads under our feet (broke the lockstep
+    parity harness at step 0 while all no-optimizer golden tests passed)."""
+    ref_model, ours, params, args = _build_pair()
+    before = [np.asarray(l).copy() for l in jax.tree_util.tree_leaves(params)]
+
+    opt = torch.optim.Adam(ref_model.parameters(), lr=1e-1)
+    x = torch.from_numpy(np.random.RandomState(5).randn(7, 90).astype(np.float32))
+    raw, ent = ref_model(x, is_val=False, is_test=False)
+    (raw.sum() + ent.sum()).backward()
+    opt.step()  # in-place parameter mutation on the torch side
+
+    after = jax.tree_util.tree_leaves(params)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, np.asarray(a))
+
+
 def test_nerf_flows_test_forward_parity():
     """Fixed-eps test mode: K-1 frozen draws + zeroed (mean) last draw."""
     ref_model, ours, params, args = _build_pair()
