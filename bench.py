@@ -416,6 +416,7 @@ def main():
         [
             dict(batch_size=16384, remat=False, net_width=384, occ_n=12),
             dict(batch_size=32768, remat=False, net_width=384, occ_n=12),
+            dict(batch_size=65536, remat=False, net_width=384, occ_n=12),
             dict(batch_size=32768, remat=False, net_width=384, occ_n=16),
         ],
         "occ_train",

@@ -188,6 +188,13 @@ def run_lockstep(steps: int, seed: int, scene: str, log_every: int):
             rgb0_delta = float(np.abs(np.asarray(out0["rgb_map"])
                                       - rgbs.detach().numpy()).max())
             print(f"step-0 cross-side rgb max delta: {rgb0_delta:.3e}")
+            if rgb0_delta > 1e-4:
+                raise RuntimeError(
+                    f"lockstep harness diverged at the shared init "
+                    f"(rgb max delta {rgb0_delta:.3e} > 1e-4): the weight "
+                    f"port, eps seam, or batch plumbing is broken — fix the "
+                    f"harness before interpreting any trajectory"
+                )
 
         # --- our step (same batch, same eps, same z) ---
         params, opt_state, loss_o, nll_o, mse_o = our_step(
