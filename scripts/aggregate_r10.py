@@ -57,8 +57,36 @@ def main() -> None:
             "--k_schedule 8:0,16:4000,32:8000"
         ),
         "result": summary,
+        "vs_6k_run_EVAL_r05_real": {
+            "psnr_6k": 26.9159, "psnr_100k": summary.get("psnr"),
+            "ssim_6k": 0.8293, "ssim_100k": summary.get("ssim"),
+            "nll_6k": 1.1361, "nll_100k": summary.get("nll"),
+            "ause_6k": 0.0545, "ause_100k": summary.get("ause"),
+            "note": (
+                "Converged reconstruction keeps improving (+0.75 dB PSNR, "
+                "+0.042 SSIM, AUSE better) but HELD-OUT KDE-NLL collapses "
+                "(1.14 -> 6.93 nat): at 100k on a 1-val-view fixture the "
+                "K-spread shrinks with training-view overfit faster than "
+                "held-out error, i.e. converged-schedule overconfidence. "
+                "The r08 calibration lever (dense cooldown, "
+                "--occ_train_until 90000) is measured as a paired arm "
+                "(see cooldown_arm)."
+            ),
+        },
         "datasets_fetch_attempt": args.fetch_note,
     }
+    cool = "/tmp/realq_100k_cool_summary.json"
+    if os.path.exists(cool):
+        with open(cool) as f:
+            cs = json.load(f)
+        artifact["cooldown_arm"] = {
+            "command": artifact["command"].replace(
+                "/tmp/realq_100k", "/tmp/realq_100k_cool"
+            ) + " --occ_train_until 90000",
+            "result": {k: cs[k] for k in
+                       ("step", "psnr", "ssim", "nll", "ause", "train_wall_s")
+                       if k in cs},
+        }
 
     if args.renderdir and os.path.isdir(args.renderdir):
         files = sorted(os.listdir(args.renderdir))
