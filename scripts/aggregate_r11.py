@@ -1,0 +1,105 @@
+"""Assemble EVAL_r11.json — the r10-round occ refinement verdict: can the
+878k-rays/s occ_train=8 step be rescued at matched quality (floor 0.45),
+and does occ_train=12 + the dense cooldown give best-of-both
+(occ PSNR + dense NLL)?
+
+Pairs the `occ_screen2_20000` arms in EVAL_r09_sweep.json against the
+EVAL_r07 dense / occ16 and EVAL_r09 occ12 / occ8(floor .3) arms, seed by
+seed (identical W384 D8 N48 K32 config, 20k iters, 128px anti-aliased
+scene, 4096 rays/step, one v5e chip; all evals dense N48 via cli.eval).
+
+    PYTHONPATH=/root/repo python scripts/aggregate_r11.py
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+METRICS = ("psnr", "ssim", "nll", "ause")
+
+
+def pool(vals):
+    return {
+        m: {"mean": round(float(np.mean([v[m] for v in vals])), 4),
+            "std": round(float(np.std([v[m] for v in vals])), 4)}
+        for m in METRICS
+    } | {"n_seeds": len(vals)}
+
+
+def main() -> None:
+    with open("EVAL_r09_sweep.json") as f:
+        sweep = json.load(f)
+    with open("EVAL_r09.json") as f:
+        r09 = json.load(f)
+
+    arms = {}
+    for name in ("occ8_f45", "occ12_cool"):
+        runs = sweep.get("occ_screen2_20000", {})
+        seeds = sorted(
+            k.rsplit("_s", 1)[1] for k in runs
+            if k.startswith(name + "_s") and "eval" in runs[k]
+        )
+        if len(seeds) < 3:
+            raise SystemExit(
+                f"{name}: only seeds {seeds} present — wait for the 3-seed "
+                f"confirm before writing EVAL_r11.json"
+            )
+        arms[name] = {
+            s: {m: runs[f"{name}_s{s}"]["eval"][m] for m in METRICS}
+            for s in seeds
+        }
+
+    paired = {}
+    for s in ("0", "1", "2"):
+        row = {k: r09["paired_by_seed"][s][k]
+               for k in ("dense", "occ16", "occ12", "occ8")}
+        row["occ8_f45"] = arms["occ8_f45"][s]
+        row["occ12_cool"] = arms["occ12_cool"][s]
+        row["occ8_f45_delta_psnr_vs_occ16"] = round(
+            row["occ8_f45"]["psnr"] - row["occ16"]["psnr"], 4)
+        row["occ12_cool_delta_psnr_vs_occ12"] = round(
+            row["occ12_cool"]["psnr"] - row["occ12"]["psnr"], 4)
+        row["occ12_cool_delta_nll_vs_dense"] = round(
+            row["occ12_cool"]["nll"] - row["dense"]["nll"], 4)
+        paired[s] = row
+
+    pools = dict(r09["pools"])
+    pools["occ8_f45"] = pool(list(arms["occ8_f45"].values()))
+    pools["occ12_cool"] = pool(list(arms["occ12_cool"].values()))
+
+    out = {
+        "experiment": (
+            "Occ-stage refinement verdict (EVAL_r11): (a) occ_train=8 with "
+            "placement floor 0.45 instead of 0.3 — does a higher uniform "
+            "share rescue the 878k rays/s step at matched quality? "
+            "(b) occ_train=12 + dense cooldown (--occ_train_until 18000) — "
+            "best-of-both (occ PSNR + dense NLL)?  3 PAIRED seeds against "
+            "the EVAL_r07 dense/occ16 and EVAL_r09 occ12/occ8 arms "
+            "(identical W384 D8 N48 K32 config, 20k iters, 128px "
+            "anti-aliased scene, 4096 rays/step, one v5e chip; all evals "
+            "dense N48 through cli.eval)."
+        ),
+        "paired_by_seed": paired,
+        "pools": pools,
+        "throughput_v5e": r09["throughput_v5e"] | {
+            "note_floor": (
+                "The placement floor changes the uniform/proposal placement "
+                "MIX, not per-step FLOPs: occ8_f45 steps at the same "
+                "877,972 rays/s as occ8 floor 0.3; occ12_cool runs occ12's "
+                "615,300 rays/s for 60% of the schedule and the dense "
+                "179,097 rays/s for warmup + the last 10%."
+            ),
+        },
+    }
+
+    with open("EVAL_r11.json", "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({k: pools[k] for k in ("occ8_f45", "occ12_cool")},
+                     indent=1))
+    print("wrote EVAL_r11.json")
+
+
+if __name__ == "__main__":
+    main()
