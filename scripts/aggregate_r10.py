@@ -80,6 +80,16 @@ def main() -> None:
         with open(cool) as f:
             cs = json.load(f)
         artifact["cooldown_arm"] = {
+            "note": (
+                "Cooldown improves held-out NLL 6.93 -> 5.61 (-1.3 nat) at "
+                "a -0.43 dB PSNR give-back — the r08 lever's signature at "
+                "the reference schedule; the remaining NLL gap vs the 6k "
+                "run (1.14) is converged-schedule overfit on the 1-val-view "
+                "fixture, not the occ stage.  Wall times are NOT comparable "
+                "across the two arms: the plain arm trained alongside three "
+                "CPU jobs (lockstep + matched-init parity + pytest) on the "
+                "1-core host, the cooldown arm alongside one."
+            ),
             "command": artifact["command"].replace(
                 "/tmp/realq_100k", "/tmp/realq_100k_cool"
             ) + " --occ_train_until 90000",
