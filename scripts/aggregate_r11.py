@@ -93,6 +93,25 @@ def main() -> None:
         },
     }
 
+    out["serving_probe_occ_eval_12"] = {
+        "checkpoint": "occ12_cool_s0 (the best seed-0 model this round)",
+        "same_checkpoint_evals": {
+            "dense_N48": {"psnr": 31.6420, "ssim": 0.9759,
+                          "nll": -6.3833, "ause": 0.0482},
+            "occ_eval_16": {"psnr": 31.3154, "ssim": 0.9733,
+                            "nll": -6.2661, "ause": 0.0497},
+            "occ_eval_12": {"psnr": 31.0763, "ssim": 0.9723,
+                            "nll": -6.1331, "ause": 0.0507},
+        },
+        "verdict": (
+            "N12 serving is NOT matched on this checkpoint (-0.56 dB / "
+            "+0.25 nat vs dense; N16 itself gives back -0.33 dB here, "
+            "unlike the dense-trained EVAL_r06 checkpoint where N16 was "
+            "metric-matched) — the serving recommendation stays N16 on "
+            "dense-trained models; don't retry N12 as a serving lever."
+        ),
+    }
+
     with open("EVAL_r11.json", "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
