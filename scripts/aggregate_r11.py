@@ -93,6 +93,24 @@ def main() -> None:
         },
     }
 
+    out["converged_schedule_probe"] = {
+        "config": ("occ12 frontier recipe, seed 0, 100,000 iters (5x the "
+                   "screen schedule) on the 128px AA scene — 1051.5 s train "
+                   "wall on one v5e chip"),
+        "eval_100k": {"psnr": 30.4604, "ssim": 0.9695,
+                      "nll": -6.2977, "ause": 0.0627},
+        "eval_20k_same_config": {"psnr": 31.0633, "ssim": 0.9725,
+                                 "nll": -6.0914, "ause": 0.0492},
+        "verdict": (
+            "5x more steps at the frontier OVERFITS the 50-view scene: "
+            "held-out PSNR -0.60 dB and AUSE worse, while KDE-NLL improves "
+            "-0.21 nat — matches the EVAL_r10 finding on the real-capture "
+            "fixture (converged schedules trade reconstruction "
+            "generalization for tighter likelihoods).  20k is the "
+            "recommended schedule on scenes of this size."
+        ),
+    }
+
     out["serving_probe_occ_eval_12"] = {
         "checkpoint": "occ12_cool_s0 (the best seed-0 model this round)",
         "same_checkpoint_evals": {
