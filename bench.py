@@ -430,7 +430,9 @@ def main():
     serving_point["train_quality_evidence"] = (
         "EVAL_r07.json (occ16 beats dense on PSNR/AUSE, 3 paired seeds); "
         "EVAL_r09.json (occ12 matches occ16 quality at 1.25x its rate; "
-        "occ8 loses 1.4 dB pooled — N12 is the matched-quality frontier)"
+        "occ8 loses 1.4 dB pooled — N12 is the matched-quality frontier); "
+        "EVAL_r11.json (N8 stays dead at floor 0.45; occ12+cooldown is the "
+        "calibration variant — every-seed NLL win for -0.63 dB mean PSNR)"
     )
 
     print(json.dumps({
