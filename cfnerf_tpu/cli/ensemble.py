@@ -40,6 +40,309 @@ def train_ensemble(args, n_members: int) -> None:
         train(_member_args(args, m))
 
 
+def train_ensemble_parallel(args, n_members: int) -> None:
+    """All M members in ONE jit over an (ensemble, data) mesh — the
+    TPU-native replacement for launching the reference script M times
+    (parallel/ensemble.py has the design note).  Members keep exactly the
+    serial workflow's semantics: member m trains with seed
+    `args.seed + 1000*m`, its own shuffled ray stream, and checkpoints
+    as ensemble index m in the shared run dir — `cli.ensemble eval`
+    consumes the result identically either way.
+
+    Covers the batching and single-image sampling paths, COLMAP depth
+    supervision, --k_schedule stages, and the occ placement stage
+    (per-member proposal distilled at the boundary).  Hierarchical
+    N_importance and render cadences (i_img/i_video/i_testset) are left
+    to the serial path — eval_ensemble is the rendering entry here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cfnerf_tpu.data.sampler import (
+        DepthRayBatcher,
+        RayBatcher,
+        SingleImageSampler,
+        precompute_depth_rays,
+        precompute_rays,
+    )
+    from cfnerf_tpu.models.factory import create_nerf, loss_mode_for_model
+    from cfnerf_tpu.parallel.ensemble import (
+        create_ensemble_mesh,
+        make_ensemble_train_loop,
+        make_ensemble_train_step,
+        member_keys,
+        shard_member_batch,
+        shard_member_stacked_batch,
+        shard_members,
+        stack_members,
+        unstack_member,
+    )
+    from cfnerf_tpu.train import checkpoint as ckpt
+    from cfnerf_tpu.train.logging import MetricsLogger
+    from cfnerf_tpu.train.loop import (
+        _snapshot_args,
+        k_for_step,
+        load_dataset,
+        occ_floor_for_step,
+        parse_k_schedule,
+    )
+    from cfnerf_tpu.train.step import TrainConfig
+    from cfnerf_tpu.utils.config import warn_ignored_flags
+
+    warn_ignored_flags(args)
+    if args.N_importance > 0:
+        raise ValueError(
+            "--parallel ensemble training does not take the hierarchical "
+            "coarse+fine path (it LOSES at matched iters on TPU anyway — "
+            "PERF.md); train members serially if you need it"
+        )
+    if args.render_only:
+        raise ValueError("--render_only has no parallel-ensemble mode; use "
+                         "cli.ensemble eval")
+
+    scene = load_dataset(args)
+    H, W, focal = scene["H"], scene["W"], scene["focal"]
+    rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
+    _snapshot_args(args, rundir)
+
+    mesh = create_ensemble_mesh(
+        n_members, args.mesh_devices if args.mesh_devices > 0 else None
+    )
+    n_data = mesh.shape["data"]
+    if args.N_rand % n_data != 0:
+        raise ValueError(
+            f"N_rand={args.N_rand} must be divisible by the mesh data axis "
+            f"({n_data}; ensemble axis took {mesh.shape['ensemble']})"
+        )
+
+    # per-member build + resume (same seeds/ckpt indices the serial path uses)
+    member_params, starts = [], []
+    model = render_config = None
+    for m in range(1, n_members + 1):
+        margs = _member_args(args, m)
+        model, _fine, render_config, p, start_m = create_nerf(margs)
+        member_params.append(jax.device_get(p))
+        starts.append(start_m)
+    if len(set(starts)) > 1:
+        raise ValueError(
+            f"ensemble members resume at different steps {starts}; finish "
+            "the stragglers serially (cli.ensemble train) or clear the run "
+            "dir — the parallel trainer advances all members in lockstep"
+        )
+    start = starts[0]
+    params = shard_members(mesh, stack_members(member_params))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"ensemble-parallel: {n_members} members x "
+          f"{n_params // n_members:,} params over mesh {dict(mesh.shape)} "
+          f"(resume step {start})")
+
+    # per-member ray streams (each member sees the stream its serial run
+    # would: precompute + batcher seeded with the member seed)
+    use_batching = not args.no_batching
+    member_batchers, member_depth = [], []
+    for m in range(1, n_members + 1):
+        seed_m = args.seed + 1000 * m
+        if use_batching:
+            rays_m = precompute_rays(
+                scene["images"], scene["poses"], focal, scene["i_train"],
+                seed=seed_m,
+            )
+            member_batchers.append(
+                RayBatcher(rays_m, args.N_rand, seed=seed_m, mesh_divisor=n_data)
+            )
+        else:
+            member_batchers.append(SingleImageSampler(
+                scene["images"], scene["poses"], focal, scene["i_train"],
+                args.N_rand, precrop_iters=args.precrop_iters,
+                precrop_frac=args.precrop_frac, seed=seed_m,
+            ))
+        if args.colmap_depth:
+            if not use_batching:
+                raise ValueError("--colmap_depth requires the batching path")
+            from cfnerf_tpu.train.loop import N_DEPTH
+
+            rays_depth = precompute_depth_rays(
+                scene["depth_gts"], scene["poses"], H, W, focal,
+                scene["i_train"], seed=seed_m,
+            )
+            member_depth.append(DepthRayBatcher(rays_depth, N_DEPTH, seed=seed_m))
+
+    tc = TrainConfig(
+        H=H, W=W, focal=focal,
+        ndc=(args.dataset_type == "llff" and not args.no_ndc),
+        near=scene["near"], far=scene["far"],
+        k_samples=args.K_samples,
+        lrate=args.lrate, lrate_decay=args.lrate_decay, start_step=start,
+        beta1=args.beta1,
+        colmap_depth=args.colmap_depth, depth_lambda=args.depth_lambda,
+        loss_mode=loss_mode_for_model(getattr(args, "model", None)),
+    )
+
+    # --- stage machinery (K-schedule / occ), ensemble-step flavored ---
+    occ_n = int(getattr(args, "occ_train", 0) or 0)
+    occ_from = int(getattr(args, "occ_train_from", 0) or 0)
+    occ_until = int(getattr(args, "occ_train_until", 0) or 0)
+    occ_anneal = int(getattr(args, "occ_floor_anneal", 0) or 0)
+    occ_floor_start = float(getattr(args, "occ_floor_start", 1.0))
+    occ_cfg = None
+    if occ_n > 0:
+        from cfnerf_tpu.ops.occupancy import aabb_from_scene
+        from cfnerf_tpu.train.step import OccTrainConfig
+
+        occ_lo, occ_hi = aabb_from_scene(scene, args)
+        occ_cfg = OccTrainConfig(
+            lo=tuple(float(x) for x in np.asarray(occ_lo)),
+            hi=tuple(float(x) for x in np.asarray(occ_hi)),
+            n_candidates=args.occ_candidates, floor=args.occ_floor,
+        )
+        if occ_until > 0 and occ_until <= occ_from:
+            raise ValueError(f"--occ_train_until {occ_until} must be > "
+                             f"--occ_train_from {occ_from}")
+        print(f"occ training (ensemble-parallel): N={occ_n} placed "
+              f"samples/ray from step {occ_from}"
+              + (f" until {occ_until}" if occ_until > 0 else ""))
+
+    k_stages = parse_k_schedule(args.k_schedule) if getattr(args, "k_schedule", "") else None
+    n_inner = max(1, getattr(args, "n_inner", 1))
+    _cache = {}
+
+    def _stage(k, occ_on):
+        import dataclasses
+
+        key = (k, occ_on)
+        if key not in _cache:
+            m_k = model.clone(k_samples=k)
+            tc_k = dataclasses.replace(tc, k_samples=k)
+            rc_k = render_config
+            occ_arg = None
+            if occ_on:
+                rc_k = dataclasses.replace(render_config, n_samples=occ_n)
+                occ_arg = occ_cfg
+            if n_inner > 1:
+                fn, tx_k = make_ensemble_train_loop(
+                    m_k, rc_k, tc_k, mesh, n_inner=n_inner, occ=occ_arg
+                )
+            else:
+                fn, tx_k = make_ensemble_train_step(
+                    m_k, rc_k, tc_k, mesh, occ=occ_arg
+                )
+            _cache[key] = (fn, tx_k)
+        return _cache[key]
+
+    k0 = k_for_step(k_stages, start + 1) if k_stages else args.K_samples
+    step_fn, tx = _stage(k0, False)
+    opt_state = jax.vmap(tx.init)(params)
+
+    logger = MetricsLogger(args.basedir, args.dataname, args.expname)
+    keys = member_keys([
+        jax.random.PRNGKey(args.seed + 1000 * m + start)
+        for m in range(1, n_members + 1)
+    ])
+
+    def _member_batch(m, step):
+        b = (member_batchers[m].next(step) if not use_batching
+             else member_batchers[m].next())
+        if member_depth:
+            b.update(member_depth[m].next())
+            b.pop("ray_weights")
+        return b
+
+    def _stacked_batch(step, occ_on):
+        bs = [_member_batch(m, step) for m in range(n_members)]
+        out = {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+        if occ_on and occ_anneal > 0:
+            f = occ_floor_for_step(step, occ_from, occ_anneal,
+                                   occ_floor_start, args.occ_floor)
+            out["occ_floor"] = np.full((n_members,), f, np.float32)
+        return out
+
+    occ_wrapped = False
+    n_iters = args.n_iters + 1
+    i = start
+    import time
+    while i < n_iters - 1:
+        t0 = time.time()
+        i_prev = i
+        k_cur = k_for_step(k_stages, i + 1) if k_stages else args.K_samples
+        occ_on = (occ_cfg is not None and (i + 1) >= occ_from
+                  and (occ_until <= 0 or (i + 1) < occ_until))
+        step_fn, _ = _stage(k_cur, occ_on)
+        if not occ_on and occ_wrapped:
+            opt_state = opt_state[0]
+            occ_wrapped = False
+            print(f"occ stage ended at step {i + 1}: dense cooldown")
+        if occ_on and not occ_wrapped:
+            # per-member proposal distillation at the boundary (each
+            # member's proposal fits ITS OWN current field)
+            from cfnerf_tpu.ops.occupancy import distill_proposal, make_density_fn
+
+            t_d = time.time()
+            props = []
+            params_host = jax.device_get(params)
+            for m in range(n_members):
+                _, pp, dloss = distill_proposal(
+                    make_density_fn(model, unstack_member(params_host, m),
+                                    render_config),
+                    jnp.asarray(occ_cfg.lo), jnp.asarray(occ_cfg.hi),
+                    jax.random.PRNGKey(args.seed + 1000 * (m + 1) + 77),
+                    width=occ_cfg.prop_width, depth=occ_cfg.prop_depth,
+                    multires=occ_cfg.prop_multires,
+                    n_points=1 << 18, epochs=2,
+                )
+                props.append(jax.device_get(pp))
+            prop_params = shard_members(mesh, stack_members(props))
+            opt_state = step_fn._wrap_state(opt_state, prop_params)
+            occ_wrapped = True
+            print(f"occ stage: {n_members} proposals distilled in "
+                  f"{time.time() - t_d:.1f}s; training at N={occ_n}")
+
+        if n_inner > 1:
+            samples = [_stacked_batch(i + 1 + j, occ_on) for j in range(n_inner)]
+            stacked = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            stacked = shard_member_stacked_batch(mesh, stacked)
+            i += n_inner
+            params, opt_state, metrics = step_fn(params, opt_state, stacked, keys)
+            metrics = {k: v[-1] for k, v in metrics.items()}
+        else:
+            batch = shard_member_batch(mesh, _stacked_batch(i + 1, occ_on))
+            i += 1
+            kk = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            keys, step_keys = kk[:, 0], kk[:, 1]
+            params, opt_state, metrics = step_fn(params, opt_state, batch, step_keys)
+        if n_inner > 1:
+            # next dispatch gets a fresh per-member key chain (the scan
+            # split its n_inner step keys from the current stack upfront)
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+
+        if args.i_weights > 0 and (i_prev // args.i_weights) != (i // args.i_weights):
+            params_host = jax.device_get(params)
+            opt_host = jax.device_get(opt_state)
+            for m in range(n_members):
+                path = ckpt.save_checkpoint(
+                    rundir, i, unstack_member(params_host, m),
+                    unstack_member(opt_host, m), m + 1,
+                )
+            print(f"Saved {n_members} member checkpoints at step {i}")
+
+        if args.i_print > 0 and (i_prev // args.i_print) != (i // args.i_print):
+            metrics = jax.device_get(metrics)
+            scalars = {
+                "train/loss": float(np.mean(metrics["loss"])),
+                "train/psnr": float(np.mean(metrics["psnr"])),
+                "iter_time": time.time() - t0,
+            }
+            for m in range(n_members):
+                scalars[f"train/psnr_m{m + 1:02d}"] = float(metrics["psnr"][m])
+            logger.scalars(i, scalars)
+            print(f"[ensemble-parallel] step {i}: "
+                  f"loss={scalars['train/loss']:.4f} "
+                  f"psnr/member=" + "/".join(
+                      f"{float(metrics['psnr'][m]):.2f}" for m in range(n_members)))
+
+    logger.close()
+    print("Ensemble-parallel training complete.")
+
+
 def eval_ensemble(args, n_members: int) -> dict:
     import jax.numpy as jnp
 
@@ -162,9 +465,19 @@ def main(argv=None):
     mode = argv.pop(0)
     parser = config_parser()
     parser.add_argument("--n_members", type=int, default=3)
+    parser.add_argument(
+        "--parallel", action="store_true",
+        help="train all members simultaneously in one jit over an "
+             "(ensemble, data) mesh (parallel/ensemble.py) instead of "
+             "serially — M members in ~the wall-time of one when the mesh "
+             "has >= M devices",
+    )
     args = parser.parse_args(argv)
     if mode == "train":
-        train_ensemble(args, args.n_members)
+        if args.parallel:
+            train_ensemble_parallel(args, args.n_members)
+        else:
+            train_ensemble(args, args.n_members)
     else:
         eval_ensemble(args, args.n_members)
 
