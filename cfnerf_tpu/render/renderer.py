@@ -25,6 +25,45 @@ from cfnerf_tpu.ops.rays import get_rays, ndc_rays
 from cfnerf_tpu.ops.sampling import sample_pdf, sample_z_vals, stratified_perturb
 
 
+_WARNED_UNFUSED_SHAPES: set = set()
+
+
+def _warn_unfused_shape(R: int, S: int) -> None:
+    """Warn (once per static shape) that the fused render core fell back.
+
+    The fused Pallas kernel only handles sample counts with a lane-aligned
+    tile (ops/pallas/render_core.py:_tile_for); anything else silently takes
+    the unfused path at roughly half throughput (EVAL_r12: --occ_eval 20
+    measured 644k rays/s vs the fused neighbours N24 973k / N16 1.37M).
+    Runs at trace time (R/S are static), so the cost is one warning per
+    compiled shape, not per step.
+    """
+    key = (R, S)
+    if key in _WARNED_UNFUSED_SHAPES:
+        return
+    _WARNED_UNFUSED_SHAPES.add(key)
+    import warnings
+
+    from cfnerf_tpu.ops.pallas.render_core import _tile_for
+
+    if _tile_for(S) is None:
+        why = (
+            f"S={S} has no lane-aligned tile — pick a sample count from the "
+            f"supported set (e.g. 16/24/32/48/64/96/128, see "
+            f"ops/pallas/render_core.py:_tile_for)"
+        )
+    else:
+        why = (
+            f"ray batch R={R} doesn't align to the S={S} tile "
+            f"(needs R % 128 == 0 and R*S divisible by the tile)"
+        )
+    warnings.warn(
+        f"fused render core requested but falling back to the unfused path "
+        f"at ~half throughput: {why}. Pass --fused_render=off to silence.",
+        stacklevel=2,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Static rendering configuration (hashable -> safe to close over jit)."""
@@ -146,12 +185,18 @@ def make_render_rays(
 
         from cfnerf_tpu.ops.pallas.render_core import supported as _fused_ok
 
-        if (
+        fused_wanted = (
             model_apply_fused is not None
             and config.n_importance == 0
             and not (config.apply_noise and config.raw_noise_std > 0)
-            and _fused_ok(R * S, S)
-        ):
+        )
+        if fused_wanted and not _fused_ok(R * S, S):
+            # loud, trace-time (static R/S), once per shape: a sample count
+            # outside the kernel's lane-aligned tile set silently halves
+            # serving throughput otherwise (EVAL_r12: --occ_eval 20 measured
+            # 644k vs the 973k-1.37M fused neighbours N24/N16)
+            _warn_unfused_shape(R, S)
+        if fused_wanted and _fused_ok(R * S, S):
             emb = _embed(z_vals, rays_o, rays_d, viewdirs)
             dists = z_vals[..., 1:] - z_vals[..., :-1]
             dists = jnp.concatenate(

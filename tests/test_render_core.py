@@ -343,6 +343,43 @@ def test_renderer_end_to_end(is_test):
     assert "weights" not in b  # fused path does not materialize weights
 
 
+def test_renderer_warns_on_unfused_fallback_shape():
+    """S outside the lane-aligned tile set must warn loudly, once per shape.
+
+    EVAL_r12: --occ_eval 20 silently fell back to the unfused path at 644k
+    rays/s (47% of the fused curve); the gate now warns at trace time."""
+    from cfnerf_tpu.models.nerf_flows import NeRFFlows, make_fused_apply
+    from cfnerf_tpu.render import renderer as renderer_mod
+    from cfnerf_tpu.render.renderer import RenderConfig, make_render_rays
+
+    model = NeRFFlows(
+        net_depth=2, net_width=32, input_ch=63, input_ch_views=27,
+        skips=(1,), h_alpha_size=8, h_rgb_size=8, n_flows=2, k_samples=8,
+        use_viewdirs=True, type_flows="triangular",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 90), jnp.float32), is_test=True
+    )["params"]
+
+    def model_apply(p, x, *, is_test, rng):
+        return model.apply({"params": p}, x, is_test=is_test, rng=rng)
+
+    rc = RenderConfig(n_samples=20, perturb=False, use_viewdirs=True)
+    rr = make_render_rays(
+        model_apply, rc, None, make_fused_apply(model, "interpret")
+    )
+    rays = _ray_batch()
+    renderer_mod._WARNED_UNFUSED_SHAPES.clear()
+    with pytest.warns(UserWarning, match="no lane-aligned tile"):
+        rr(params, *rays, jax.random.PRNGKey(3), is_test=True)
+    # once per static shape: a second identical call stays quiet
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        rr(params, *rays, jax.random.PRNGKey(4), is_test=True)
+
+
 @pytest.mark.slow
 def test_renderer_end_to_end_param_grads():
     params, rr_plain, rr_fused = _tiny_model_and_renderers()
