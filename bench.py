@@ -395,6 +395,14 @@ def main():
         # matched PSNR/SSIM/AUSE but KDE-NLL tightens +0.51 nat (K-spread
         # concentration; --occ_floor is the recovery knob), N24/N32 BEAT
         # dense on PSNR and hold AUSE at smaller NLL shifts.
+        # EVAL_r12: --occ_floor recovers the N16 NLL shift monotonically
+        # (0.30/0.45/0.60 -> -5.96/-6.04/-6.12 vs dense -6.46) at <=0.07 dB
+        # PSNR cost; N20 is DOMINATED by N24 (no lane-aligned tile -> unfused
+        # fallback at 47% of the curve). Serving S stays in {16, 24, 32, 48}.
+        "floor_recovery_r12": {
+            "N16_f0.30_nll": -5.957, "N16_f0.45_nll": -6.045,
+            "N16_f0.60_nll": -6.120, "dense_N48_nll": -6.463,
+        },
         "curve_r06": {
             "N16_f0.30": {"rays_per_sec": 1372942, "psnr_delta": 0.011,
                           "ssim_delta": -0.0011, "ause_delta": 0.0,
