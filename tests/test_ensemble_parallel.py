@@ -153,6 +153,82 @@ def test_ensemble_scan_loop_matches_unrolled():
     )
 
 
+def test_vmapped_occ_step_matches_per_member_serial():
+    """The occ-stage (proposal-placed) step under the member vmap ==
+    each member occ-trained alone: field params, proposal params, and the
+    per-member annealed floor (a (M,) batch leaf) all line up.  This is
+    the path cli.ensemble train --parallel runs after --occ_train_from.
+
+    Tolerances are looser than the dense-step test: the placement pipeline
+    (proposal MLP + triangular-matmul prefix) runs as batched dot_generals
+    under vmap, whose f32 accumulation order differs from the serial
+    matmuls on CPU; Adam's second-moment normalization then amplifies the
+    ~1e-7 grad deltas to ~6e-5 param deltas in one step.  Losses still
+    match to ~1e-6 relative — the semantics are identical."""
+    from cfnerf_tpu.ops.occupancy import ProposalMLP
+    from cfnerf_tpu.train.step import OccTrainConfig
+
+    model, rc, tc = _model_and_cfg()
+    occ = OccTrainConfig(lo=(-2.0, -2.0, -4.5), hi=(2.0, 2.0, 0.5),
+                         n_candidates=32, cotrain_points=256)
+    M = 2
+    mesh = create_ensemble_mesh(M)
+    prop = ProposalMLP(width=occ.prop_width, depth=occ.prop_depth,
+                       multires=occ.prop_multires)
+
+    params_list = [_member_params(model, m) for m in range(M)]
+    prop_list = [jax.device_get(prop.init(jax.random.PRNGKey(50 + m)))
+                 for m in range(M)]
+    keys0 = [jax.random.PRNGKey(200 + m) for m in range(M)]
+    floors = [0.3, 0.6]  # distinct per-member anneal values
+    batches = [[_batch(seed=30 * m + s, R=64) for s in range(2)]
+               for m in range(M)]
+
+    # --- ensemble arm ---
+    estep, tx = make_ensemble_train_step(model, rc, tc, mesh, occ=occ)
+    p = shard_members(mesh, stack_members(params_list))
+    wrapped = estep._wrap_state(
+        jax.vmap(tx.init)(p), shard_members(mesh, stack_members(prop_list))
+    )
+    keys = member_keys(keys0)
+    for s in range(2):
+        b = {k: np.stack([batches[m][s][k] for m in range(M)])
+             for k in batches[0][0]}
+        b["occ_floor"] = np.asarray(floors, np.float32)
+        b = shard_member_batch(mesh, b)
+        kk = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        keys, step_keys = kk[:, 0], kk[:, 1]
+        p, wrapped, metrics = estep(p, wrapped, b, step_keys)
+    p_host = jax.device_get(p)
+    prop_host = jax.device_get(wrapped[1])
+    m_host = jax.device_get(metrics)
+
+    # --- serial arm ---
+    sstep, stx = make_train_step(model, rc, tc, mesh=None, occ=occ)
+    for m in range(M):
+        pm = params_list[m]
+        wm = sstep._wrap_state(stx.init(pm), prop_list[m])
+        km = keys0[m]
+        for s in range(2):
+            kk = jax.random.split(km, 2)
+            km, sk = kk[0], kk[1]
+            bb = {k: jnp.asarray(v) for k, v in batches[m][s].items()}
+            bb["occ_floor"] = jnp.float32(floors[m])
+            pm, wm, mm = sstep(pm, wm, bb, sk)
+        for a, b_ in zip(jax.tree_util.tree_leaves(unstack_member(p_host, m)),
+                         jax.tree_util.tree_leaves(jax.device_get(pm))):
+            np.testing.assert_allclose(a, b_, rtol=5e-4, atol=5e-4)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(unstack_member(prop_host, m)),
+            jax.tree_util.tree_leaves(jax.device_get(wm[1])),
+        ):
+            np.testing.assert_allclose(a, b_, rtol=5e-4, atol=5e-4)
+        for key in ("loss", "prop_loss"):
+            np.testing.assert_allclose(
+                float(m_host[key][m]), float(mm[key]), rtol=1e-4
+            )
+
+
 def test_member_axis_actually_sharded():
     """Stacked params/batches must physically span the ensemble axis (not
     silently replicate)."""
