@@ -343,7 +343,15 @@ def train_ensemble_parallel(args, n_members: int) -> None:
     print("Ensemble-parallel training complete.")
 
 
-def eval_ensemble(args, n_members: int) -> dict:
+def eval_ensemble(args, n_members: int, members=None) -> dict:
+    """Mixture eval over ensemble members (M·K draws, equal weight).
+
+    `members` (1-based indices, default all of 1..n_members) selects a
+    SUBSET mixture — the production lever for a bad seed: a laggard member
+    is identifiable from train-side PSNR alone (EVAL_r13: the weak member
+    trained 5+ dB below its peers throughout, no val data needed), and
+    dropping it recovers the mixture.  CLI: --members 1,3.
+    """
     import jax.numpy as jnp
 
     from cfnerf_tpu.cli.eval import kde_nll_per_pixel
@@ -352,6 +360,14 @@ def eval_ensemble(args, n_members: int) -> dict:
     from cfnerf_tpu.render.renderer import make_render_rays, render_image
     from cfnerf_tpu.train import checkpoint as ckpt
     from cfnerf_tpu.train.loop import load_dataset
+
+    if members is None:
+        members = list(range(1, n_members + 1))
+    members = sorted(set(int(m) for m in members))
+    if not members or any(m < 1 or m > n_members for m in members):
+        raise ValueError(
+            f"--members must pick from 1..{n_members}, got {members}"
+        )
 
     scene = load_dataset(args)
     H, W, focal = scene["H"], scene["W"], scene["focal"]
@@ -365,7 +381,7 @@ def eval_ensemble(args, n_members: int) -> dict:
     member_renders: List[dict] = []
     member_steps: List[int] = []
     start = 0
-    for m in range(1, n_members + 1):
+    for m in members:
         margs = _member_args(args, m)
         model, model_fine, render_config, params, start = create_nerf(margs)
         if start == 0:
@@ -412,7 +428,9 @@ def eval_ensemble(args, n_members: int) -> dict:
 
     # aggregate: mixture over members -> (H, W, 3, M*K)
     rundir = ckpt.run_dir(args.basedir, args.dataname, args.type_flows, args.expname)
-    outdir = os.path.join(rundir, f"eval_ensemble{n_members}_{start:06d}")
+    tag = (f"eval_ensemble{n_members}" if len(members) == n_members
+           else "eval_ensemble_m" + "-".join(str(m) for m in members))
+    outdir = os.path.join(rundir, f"{tag}_{start:06d}")
     os.makedirs(outdir, exist_ok=True)
 
     import imageio.v2 as imageio
@@ -443,7 +461,8 @@ def eval_ensemble(args, n_members: int) -> dict:
         )
 
     summary = {
-        "n_members": n_members,
+        "n_members": len(members),
+        "members": members,
         "psnr": float(np.mean([v["psnr"] for v in per_view])),
         "ssim": float(np.mean([v["ssim"] for v in per_view])),
         "nll": float(np.mean([v["nll"] for v in per_view])),
@@ -472,6 +491,13 @@ def main(argv=None):
              "serially — M members in ~the wall-time of one when the mesh "
              "has >= M devices",
     )
+    parser.add_argument(
+        "--members", type=str, default="",
+        help="eval only: comma-separated 1-based member subset for the "
+             "mixture (e.g. 1,3) — drop a laggard member identified from "
+             "its train-side PSNR (EVAL_r13: a weak seed trains 5+ dB "
+             "below its peers and drags the mixture); default all members",
+    )
     args = parser.parse_args(argv)
     if mode == "train":
         if args.parallel:
@@ -479,7 +505,9 @@ def main(argv=None):
         else:
             train_ensemble(args, args.n_members)
     else:
-        eval_ensemble(args, args.n_members)
+        subset = ([int(s) for s in args.members.split(",") if s.strip()]
+                  if args.members else None)
+        eval_ensemble(args, args.n_members, members=subset)
 
 
 if __name__ == "__main__":

@@ -47,3 +47,16 @@ def test_ensemble_train_and_eval(tmp_path):
     assert outdirs
     files = os.listdir(os.path.join(rundir, outdirs[0]))
     assert "metrics.json" in files and any(f.endswith("_std.png") for f in files)
+
+    # subset mixture (--members): drop member 1, eval member 2 alone
+    sub = eval_ensemble(args, 2, members=[2])
+    assert sub["n_members"] == 1 and sub["members"] == [2]
+    for key in ("psnr", "ssim", "nll", "ause"):
+        assert np.isfinite(sub[key])
+    assert any(d.startswith("eval_ensemble_m2_") for d in os.listdir(rundir))
+
+    # out-of-range / empty subsets fail loudly
+    with pytest.raises(ValueError):
+        eval_ensemble(args, 2, members=[3])
+    with pytest.raises(ValueError):
+        eval_ensemble(args, 2, members=[])
