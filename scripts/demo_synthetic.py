@@ -167,6 +167,10 @@ def main():
                     help="uniform placement mass during occ training "
                          "(--occ_floor on the train side; free-space "
                          "coverage is a quality lever)")
+    ap.add_argument("--occ_train_candidates", type=int, default=0,
+                    help="passthrough: --occ_candidates for the occ-train "
+                         "placement CDF (0 = config default 128; 64 "
+                         "measured +7%% step rate — quality screen r13)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the checkpoint already in --outdir/logs "
                          "(eval-only A/Bs on one trained model)")
@@ -223,6 +227,8 @@ def main():
         flags += ["--occ_train", str(args_demo.occ_train),
                   "--occ_train_from", str(args_demo.occ_train_from),
                   "--occ_floor", str(args_demo.occ_train_floor)]
+        if args_demo.occ_train_candidates:
+            flags += ["--occ_candidates", str(args_demo.occ_train_candidates)]
         if args_demo.occ_train_until:
             flags += ["--occ_train_until", str(args_demo.occ_train_until)]
         if args_demo.occ_floor_anneal:
