@@ -85,6 +85,13 @@ def main() -> None:
             "all evals dense N48 via cli.eval."
         ),
         "hardware": "1x TPU v5e, fused render core",
+        "dataset_fetch_attempt": (
+            "scripts/fetch_datasets.sh re-attempted this session (2026-08-19): "
+            "gdown absent and direct urllib to drive.google.com fails with "
+            "DNS 'Name or service not known' — zero-egress environment "
+            "confirmed again; genuine LF/LLFF data remains environmental "
+            "(EVAL_r10 has the prior record)."
+        ),
         "step_rate_rays_per_sec": {"cand128": 630313, "cand64": 677877,
                                    "batch": 32768},
         "paired_by_seed": paired,
