@@ -11,6 +11,12 @@ Pairs 3 fresh cand64 seeds (scripts/demo_synthetic.py --occ_train 12
 anti-aliased scene / 4096 rays/step protocol) against the EVAL_r09 occ12
 (cand128) arm, seed by seed; all evals dense N48 via cli.eval.
 
+If /tmp/r14_serving.json exists (written by hand from
+scripts/probe_occ_candidates_serving.py + the --skip_train --eval_occ
+re-evals of the cand64_s0 checkpoint), its contents are embedded as the
+"serving_candidates" section — the eval-side half of the same
+placement-CDF-resolution question.
+
     PYTHONPATH=/root/repo python scripts/aggregate_r14.py [logfile]
 """
 from __future__ import annotations
@@ -97,6 +103,11 @@ def main() -> None:
         "paired_by_seed": paired,
         "pooled": pooled,
     }
+    try:
+        with open("/tmp/r14_serving.json") as f:
+            out["serving_candidates"] = json.load(f)
+    except FileNotFoundError:
+        pass
     with open("EVAL_r14.json", "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
