@@ -10,7 +10,10 @@ Reference defects intentionally fixed (SURVEY.md section 2):
     wrong unpack arity, `expname` NameError :207,:204,:1107) — implemented
     here as intended: mean/std/disp image export + mp4;
   * i_val_internal is undefined for generic LLFF/blender scenes (:877) —
-    defaults to i_val;
+    defaults to i_val; and the val-ray stream it feeds is sliced every
+    step upstream but never CONSUMED (:954-963 assigns batch_rays_val and
+    drops it) — here the stream is actually used: a held-out ray batch is
+    rendered in test mode at every i_print and logged as val/mse+val/psnr;
   * np.float usage (:871) — gone (float32 throughout).
 
 TPU-native: the step is one jit (train/step.py); host work per iteration is
@@ -365,6 +368,26 @@ def train(args) -> None:
             seed=args.seed,
         )
 
+    # internal-val ray stream (reference :877-885 builds it; :954-963 then
+    # slices batch_rays_val every step and never consumes it — dead code
+    # upstream).  Wired as intended here: a shuffled held-out ray stream
+    # whose batch renders in TEST mode (fixed-eps K draws, no jitter) at
+    # the i_print cadence, logging val/mse + val/psnr beside the train
+    # scalars — a per-step generalization signal ~300x cheaper than the
+    # i_img full-image render.
+    val_batcher = None
+    if use_batching and len(scene["i_val_internal"]) > 0:
+        rays_rgb_val = precompute_rays(
+            scene["images"], scene["poses"], focal, scene["i_val_internal"],
+            seed=args.seed + 1,
+        )
+        if rays_rgb_val.shape[0] >= args.N_rand:
+            print("rays_rgb_val:", rays_rgb_val.shape)
+            val_batcher = RayBatcher(
+                rays_rgb_val, args.N_rand, seed=args.seed + 1,
+                mesh_divisor=n_data,
+            )
+
     depth_batcher = None
     if args.colmap_depth and not use_batching:
         # the reference crashes inside the loss here (KeyError on the depth
@@ -398,6 +421,24 @@ def train(args) -> None:
         model, render_config, tc, mesh=mesh, model_fine=model_fine
     )
     opt_state = tx.init(params)
+
+    val_metrics_fn = None
+    if val_batcher is not None:
+        from cfnerf_tpu.ops.metrics import img2mse, mse2psnr
+        from cfnerf_tpu.render.renderer import prepare_rays
+
+        @jax.jit
+        def val_metrics_fn(p, ro, rd, target):
+            ro2, rd2, vd, near_v, far_v = prepare_rays(
+                ro, rd, H=H, W=W, focal=focal, ndc=tc.ndc,
+                use_viewdirs=args.use_viewdirs,
+                near=scene["near"], far=scene["far"],
+            )
+            out = render_rays_test(params=p, rays_o=ro2, rays_d=rd2,
+                                   viewdirs=vd, near=near_v, far=far_v,
+                                   rng=None, is_test=True)
+            mse = img2mse(out["rgb_map"].mean(-1), target)
+            return mse, mse2psnr(mse)
 
     # --- occ stage config (proposal-placed training, step.OccTrainConfig) ---
     occ_n = int(getattr(args, "occ_train", 0) or 0)
@@ -657,6 +698,16 @@ def train(args) -> None:
                 if "prop_loss" in metrics:
                     # occ stage: proposal co-training fit (log1p-sigma MSE)
                     scalars["train/prop_loss"] = metrics["prop_loss"]
+                if val_metrics_fn is not None:
+                    # held-out ray batch through the TEST-mode renderer
+                    # (the internal-val stream the reference slices at
+                    # :954-963 but never consumes)
+                    vb = shard_batch(mesh, val_batcher.next())
+                    v_mse, v_psnr = val_metrics_fn(
+                        params, vb["rays_o"], vb["rays_d"], vb["target"]
+                    )
+                    scalars["val/mse"] = float(v_mse)
+                    scalars["val/psnr"] = float(v_psnr)
                 logger.scalars(i, scalars)
                 logger.console(i, scalars, args.colmap_depth)
 

@@ -54,6 +54,16 @@ def main() -> None:
     with open("EVAL_r09.json") as f:
         r09 = json.load(f)
 
+    # pair by the seed recorded IN each summary when present (ADVICE r03:
+    # launch-order pairing silently mis-pairs a reordered/mixed log);
+    # older logs without a seed field keep the launch-order assumption
+    if all("seed" in s for s in summaries):
+        seeds = sorted(int(s["seed"]) for s in summaries)
+        if seeds != [0, 1, 2]:
+            raise SystemExit(f"{log}: DEMO SUMMARY seeds are {seeds}, "
+                             "need exactly [0, 1, 2]")
+        summaries.sort(key=lambda s: int(s["seed"]))
+
     paired = {}
     for i, s in enumerate(("0", "1", "2")):
         cand64 = {m: round(float(summaries[i][m]), 4) for m in METRICS}
@@ -108,6 +118,11 @@ def main() -> None:
             out["serving_candidates"] = json.load(f)
     except FileNotFoundError:
         pass
+    except json.JSONDecodeError as e:
+        # a malformed side-file must not abort the aggregation after the
+        # expensive runs (ADVICE r03)
+        print(f"WARNING: /tmp/r14_serving.json unparseable ({e}); "
+              "skipping serving_candidates embed", file=sys.stderr)
     with open("EVAL_r14.json", "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

@@ -259,6 +259,9 @@ def main():
         ]
     summary = evaluate(parse_args(eval_flags))
     summary["train_wall_s"] = round(train_wall, 1)
+    # seed rides in the summary so aggregators can pair arms by SEED, not
+    # launch order (ADVICE r03: a reordered/mixed log silently mis-paired)
+    summary["seed"] = args_demo.seed
     print("DEMO SUMMARY:", json.dumps(
         {k: v for k, v in summary.items() if k != "views"}))
 

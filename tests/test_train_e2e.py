@@ -49,6 +49,12 @@ def test_blender_train_ckpt_resume_render(tmp_path):
     recs = [json.loads(l) for l in open(mfile)]
     assert any("train/loss" in r for r in recs)
     assert all(np.isfinite(r.get("train/loss", 0.0)) for r in recs)
+    # the internal-val ray stream (reference :877-885 builds it, :954-963
+    # slices it per step but never consumes it) is wired here: held-out
+    # val/mse + val/psnr logged at the i_print cadence
+    assert any("val/mse" in r for r in recs)
+    assert all(np.isfinite(r.get("val/mse", 0.0)) for r in recs)
+    assert any("val/psnr" in r for r in recs)
 
     # resume: starts from step 10 and runs to 12 again (no crash, new ckpt dir kept)
     args2 = _base_args(datadir, basedir)
