@@ -29,7 +29,7 @@ inference and MFU ride along) immediately after the flagship sweeps, then
 RE-prints a progressively more complete line after each extended section
 (operating/student/serving/occ-train points) — consume the LAST parseable
 line.  Extended sections are gated by a wall-clock budget (BENCH_BUDGET_S,
-default 420 s) so the run always terminates inside the driver window with
+default 1100 s) so the run always terminates inside the driver window with
 a valid record (BENCH_r03 was rc=124/parsed:null because the single line
 printed only at the very end).
 """
@@ -313,13 +313,13 @@ def main():
     # headline JSON prints IMMEDIATELY after the flagship sweeps, and a
     # progressively more complete line is re-printed after each extended
     # section — whatever line was printed last is a valid, parseable
-    # record.  A wall-clock budget (BENCH_BUDGET_S, default 420 s) gates
+    # record.  A wall-clock budget (BENCH_BUDGET_S, default 1100 s) gates
     # each extended section: when it's exhausted, remaining sections are
     # skipped with a note instead of overrunning the driver window.
     import os
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 
     def remaining() -> float:
         return budget_s - (time.perf_counter() - t_start)
@@ -384,67 +384,16 @@ def main():
         emit()
         return False
 
-    # ~ per-section wall estimate: one compile (20-40 s) + 4 timed
-    # dispatches per config — measured ~45-60 s/config on the tunnel.
-    EST = 75.0
-
-    # operating point (EVAL_r04: N_samples=48 + K-schedule — the best
-    # quality-per-wall config in the r04 screen) — raw ray throughput
-    # at N=48; the quality evidence incl. seed spread lives in EVAL_r04.json
-    if section_fits("operating_point", 2 * EST):
-        op_train_best, op_train_cfg, _ = _sweep(
-            bench_train,
-            [dict(batch_size=4096, remat=False, n_inner=20, n_samples=48)],
-            "op_train",
-        )
-        op_infer_best, op_infer_cfg, _ = _sweep(
-            bench_inference, [dict(batch_size=32768, n_samples=48)], "op_infer"
-        )
-        result["operating_point"] = {
-            "n_samples": 48,
-            "train_rays_per_sec": round(op_train_best, 1),
-            "train_mfu": round(op_train_best * flops_per_ray(True, 48) / peak, 4),
-            "inference_rays_per_sec": round(op_infer_best, 1),
-            "inference_mfu": round(
-                op_infer_best * flops_per_ray(False, 48) / peak, 4),
-            "config": f"train={op_train_cfg} infer={op_infer_cfg}",
-            "quality_evidence": "EVAL_r04.json (N48 screen + seed spread)",
-        }
-        result["sections_completed"].append("operating_point")
-        emit()
-
-    # student trunk (EVAL_r05: W384 at N48 — near-matched quality at
-    # ~0.57x per-point FLOPs; quality deltas + seed spread in EVAL_r05.json)
-    if section_fits("student_point", 2 * EST):
-        st_train_best, st_train_cfg, _ = _sweep(
-            bench_train,
-            [dict(batch_size=16384, remat=False, n_samples=48, net_width=384)],
-            "student_train",
-        )
-        st_infer_best, st_infer_cfg, _ = _sweep(
-            bench_inference,
-            [dict(batch_size=131072, n_samples=48, net_width=384)],
-            "student_infer",
-        )
-        result["student_point"] = {
-            "n_samples": 48, "net_width": 384,
-            "train_rays_per_sec": round(st_train_best, 1),
-            "train_mfu": round(
-                st_train_best * flops_per_ray(True, 48, 384) / peak, 4),
-            "inference_rays_per_sec": round(st_infer_best, 1),
-            "inference_mfu": round(
-                st_infer_best * flops_per_ray(False, 48, 384) / peak, 4),
-            "config": f"train={st_train_cfg} infer={st_infer_cfg}",
-            "quality_evidence": "EVAL_r05.json (W384 seed pool + 20k confirm)",
-        }
-        result["sections_completed"].append("student_point")
-        emit()
+    # per-section wall estimates below are from the timestamped r04c run
+    # (compile dominates: ~100-260 s per section on the tunnel); sections
+    # are ordered by importance — the serving/occ-train points carry the
+    # repo's flagship claims, operating/student ride behind them.
 
     # serving point (EVAL_r06: proposal-guided occupancy placement at the
     # W384 student — quality matched to the dense N48 eval at N=16 placed
     # samples, table + ablations in EVAL_r06.json).  This is the K-sample
     # inference path a deployment would run.
-    if section_fits("serving_point", EST):
+    if section_fits("serving_point", 110):
         sv_best, sv_cfg, _ = _sweep(
             bench_inference,
             [dict(batch_size=32768, net_width=384, occ_n=16, occ_candidates=128)],
@@ -492,7 +441,7 @@ def main():
     # occ-train point (EVAL_r07: proposal-placed TRAINING after a dense
     # warmup — beats the dense-trained baseline on PSNR/AUSE at these
     # throughputs; step cost includes placement + proposal co-training)
-    if "serving_point" in result and section_fits("occ_train", EST):
+    if "serving_point" in result and section_fits("occ_train", 140):
         ot_best, ot_cfg, _ = _sweep(
             bench_train,
             [dict(batch_size=65536, remat=False, net_width=384, occ_n=12)],
@@ -516,6 +465,59 @@ def main():
         )
         result["sections_completed"].append("occ_train")
         emit()
+
+    # operating point (EVAL_r04: N_samples=48 + K-schedule — the best
+    # quality-per-wall config in the r04 screen) — raw ray throughput
+    # at N=48; the quality evidence incl. seed spread lives in EVAL_r04.json
+    if section_fits("operating_point", 120):
+        op_train_best, op_train_cfg, _ = _sweep(
+            bench_train,
+            [dict(batch_size=4096, remat=False, n_inner=20, n_samples=48)],
+            "op_train",
+        )
+        op_infer_best, op_infer_cfg, _ = _sweep(
+            bench_inference, [dict(batch_size=32768, n_samples=48)], "op_infer"
+        )
+        result["operating_point"] = {
+            "n_samples": 48,
+            "train_rays_per_sec": round(op_train_best, 1),
+            "train_mfu": round(op_train_best * flops_per_ray(True, 48) / peak, 4),
+            "inference_rays_per_sec": round(op_infer_best, 1),
+            "inference_mfu": round(
+                op_infer_best * flops_per_ray(False, 48) / peak, 4),
+            "config": f"train={op_train_cfg} infer={op_infer_cfg}",
+            "quality_evidence": "EVAL_r04.json (N48 screen + seed spread)",
+        }
+        result["sections_completed"].append("operating_point")
+        emit()
+
+    # student trunk (EVAL_r05: W384 at N48 — near-matched quality at
+    # ~0.57x per-point FLOPs; quality deltas + seed spread in EVAL_r05.json)
+    if section_fits("student_point", 260):
+        st_train_best, st_train_cfg, _ = _sweep(
+            bench_train,
+            [dict(batch_size=16384, remat=False, n_samples=48, net_width=384)],
+            "student_train",
+        )
+        st_infer_best, st_infer_cfg, _ = _sweep(
+            bench_inference,
+            [dict(batch_size=131072, n_samples=48, net_width=384)],
+            "student_infer",
+        )
+        result["student_point"] = {
+            "n_samples": 48, "net_width": 384,
+            "train_rays_per_sec": round(st_train_best, 1),
+            "train_mfu": round(
+                st_train_best * flops_per_ray(True, 48, 384) / peak, 4),
+            "inference_rays_per_sec": round(st_infer_best, 1),
+            "inference_mfu": round(
+                st_infer_best * flops_per_ray(False, 48, 384) / peak, 4),
+            "config": f"train={st_train_cfg} infer={st_infer_cfg}",
+            "quality_evidence": "EVAL_r05.json (W384 seed pool + 20k confirm)",
+        }
+        result["sections_completed"].append("student_point")
+        emit()
+
 
 
 if __name__ == "__main__":

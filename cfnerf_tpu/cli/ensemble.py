@@ -343,6 +343,95 @@ def train_ensemble_parallel(args, n_members: int) -> None:
     print("Ensemble-parallel training complete.")
 
 
+def member_train_psnrs(metrics_path: str, n_members: int,
+                       window: int = 10) -> dict:
+    """Per-member train-side PSNR medians from a run's metrics.jsonl.
+
+    Parallel-trained runs (train_ensemble_parallel) log a tagged
+    `train/psnr_mXX` scalar per member — read those directly.  Serial
+    runs (train_ensemble) append each member's records into the same
+    summaries file with no member tag; their step counters ascend per
+    member and reset when the next member starts, so records are
+    segmented on step resets and attributed to members 1..M in launch
+    order.  Returns {member: median of the last `window` PSNR values}.
+    """
+    recs = []
+    with open(metrics_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                recs.append(json.loads(line))
+
+    tagged = {}
+    for m in range(1, n_members + 1):
+        key = f"train/psnr_m{m:02d}"
+        vals = [r[key] for r in recs if key in r]
+        if vals:
+            tagged[m] = float(np.median(vals[-window:]))
+    if len(tagged) == n_members:
+        return tagged
+    if tagged:
+        raise ValueError(
+            f"{metrics_path}: found tagged train PSNR for members "
+            f"{sorted(tagged)} but n_members={n_members} — partial "
+            "parallel-training log; pass an explicit --members subset"
+        )
+
+    # serial fallback: segment untagged train/psnr records on step resets
+    seq = [(r["step"], r["train/psnr"]) for r in recs
+           if "train/psnr" in r and "step" in r]
+    if not seq:
+        raise ValueError(f"{metrics_path}: no train/psnr records")
+    segments, cur = [], [seq[0]]
+    for prev, nxt in zip(seq, seq[1:]):
+        if nxt[0] <= prev[0]:
+            segments.append(cur)
+            cur = []
+        cur.append(nxt)
+    segments.append(cur)
+    if len(segments) != n_members:
+        raise ValueError(
+            f"{metrics_path}: records segment into {len(segments)} serial "
+            f"training runs but n_members={n_members} — resumed or mixed "
+            "logs can't be attributed; pass an explicit --members subset"
+        )
+    return {m: float(np.median([p for _, p in seg][-window:]))
+            for m, seg in enumerate(segments, 1)}
+
+
+def auto_member_subset(args, n_members: int,
+                       threshold_db: float = 2.0) -> List[int]:
+    """The EVAL_r13 lesson, automated: a bad ensemble member is
+    identifiable from TRAIN-side PSNR alone (the weak seed trained 5+ dB
+    below its peers throughout — no val data needed).  Flags members whose
+    train PSNR median sits more than `threshold_db` below the member
+    median and returns the surviving subset for the mixture.
+    """
+    metrics_path = os.path.join(
+        args.basedir, args.dataname, "summaries", args.expname,
+        "metrics.jsonl",
+    )
+    psnrs = member_train_psnrs(metrics_path, n_members)
+    med = float(np.median(list(psnrs.values())))
+    keep = [m for m in sorted(psnrs) if psnrs[m] >= med - threshold_db]
+    dropped = [m for m in sorted(psnrs) if m not in keep]
+    report = ", ".join(f"m{m:02d}={psnrs[m]:.2f} dB"
+                       + (" [DROPPED]" if m in dropped else "")
+                       for m in sorted(psnrs))
+    print(f"--members auto: train-side PSNR medians {report} "
+          f"(member median {med:.2f}, threshold -{threshold_db:.1f} dB)")
+    if not keep:
+        # degenerate (all members equally bad relative to a skewed median
+        # can't happen, but guard anyway): gate nothing
+        print("--members auto: no member survives the gate; keeping all")
+        return list(range(1, n_members + 1))
+    if dropped:
+        print(f"--members auto: dropping {dropped} from the mixture "
+              "(EVAL_r13: subset mixtures beat every member once the bad "
+              "seed is gone)")
+    return keep
+
+
 def eval_ensemble(args, n_members: int, members=None) -> dict:
     """Mixture eval over ensemble members (M·K draws, equal weight).
 
@@ -496,7 +585,15 @@ def main(argv=None):
         help="eval only: comma-separated 1-based member subset for the "
              "mixture (e.g. 1,3) — drop a laggard member identified from "
              "its train-side PSNR (EVAL_r13: a weak seed trains 5+ dB "
-             "below its peers and drags the mixture); default all members",
+             "below its peers and drags the mixture); 'auto' gates "
+             "outlier members from the run's own metrics.jsonl "
+             "(auto_member_subset); default all members",
+    )
+    parser.add_argument(
+        "--members_auto_db", type=float, default=2.0,
+        help="--members auto gate: drop members whose train-side PSNR "
+             "median is more than this many dB below the member median "
+             "(EVAL_r13's bad seed sat 3.5-5 dB low)",
     )
     args = parser.parse_args(argv)
     if mode == "train":
@@ -505,8 +602,13 @@ def main(argv=None):
         else:
             train_ensemble(args, args.n_members)
     else:
-        subset = ([int(s) for s in args.members.split(",") if s.strip()]
-                  if args.members else None)
+        if args.members.strip().lower() == "auto":
+            subset = auto_member_subset(
+                args, args.n_members, threshold_db=args.members_auto_db
+            )
+        else:
+            subset = ([int(s) for s in args.members.split(",") if s.strip()]
+                      if args.members else None)
         eval_ensemble(args, args.n_members, members=subset)
 
 

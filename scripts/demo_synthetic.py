@@ -50,7 +50,105 @@ def ray_trace_scene(rays_o, rays_d):
     return color.astype(np.float32)
 
 
-def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1):
+def ray_trace_clutter(rays_o, rays_d):
+    """Analytic CLUTTERED scene (VERDICT r03 task 6 — the defense against
+    single-scene frontier tuning): eight spheres of mixed sizes with real
+    mutual occlusion, procedural surface texture (checker ground sphere,
+    stripe/dot/marble sphere albedos), and cast shadows from a directional
+    light.  Deterministic, vectorized numpy, white background — same
+    contract as ray_trace_scene."""
+    # (center, radius, texture id) — texture ids: 0 checker, 1 stripes,
+    # 2 dots, 3 marble, 4+ flat albedo variants
+    prims = [
+        (np.array([0.0, -31.0, 0.0]), 30.0, 0),    # ground: giant checker sphere
+        (np.array([0.0, 0.0, 0.0]), 1.0, 3),       # central marble
+        (np.array([1.5, -0.55, 0.9]), 0.45, 1),    # striped, leaning on ground
+        (np.array([-1.3, -0.4, 0.8]), 0.6, 2),     # dotted
+        (np.array([0.8, 0.75, -0.9]), 0.5, 4),     # flat blue, partly hidden
+        (np.array([-0.9, 0.9, -0.6]), 0.35, 5),    # flat amber, high
+        (np.array([0.15, -0.75, 1.6]), 0.25, 6),   # small green, foreground
+        (np.array([-0.4, 0.1, 1.25]), 0.3, 1),     # striped occluder in front
+    ]
+    light = np.array([2.0, 3.5, 1.2])
+    light = light / np.linalg.norm(light)
+
+    def albedo_at(p, n, tex):
+        if tex == 0:  # checker on the ground: smooth (anti-aliasable) tiles
+            cx = np.sin(np.pi * p[..., 0] * 1.5) * np.sin(np.pi * p[..., 2] * 1.5)
+            t = 0.5 + 0.5 * np.tanh(cx * 8.0)
+            a = np.stack([0.85 - 0.55 * t, 0.8 - 0.35 * t, 0.75 - 0.15 * t], -1)
+        elif tex == 1:  # stripes
+            s = 0.5 + 0.5 * np.tanh(np.sin((p[..., 0] + 2 * p[..., 1]) * 9.0) * 6.0)
+            a = np.stack([0.9 * s + 0.15 * (1 - s), 0.3 * np.ones_like(s),
+                          0.2 * s + 0.8 * (1 - s)], -1)
+        elif tex == 2:  # dots via 3D sinusoidal cells
+            c = (np.sin(p[..., 0] * 11) * np.sin(p[..., 1] * 11)
+                 * np.sin(p[..., 2] * 11))
+            t = 0.5 + 0.5 * np.tanh(c * 10.0)
+            a = np.stack([0.2 + 0.6 * t, 0.55 * np.ones_like(t),
+                          0.25 + 0.35 * (1 - t)], -1)
+        elif tex == 3:  # marble-ish: normal-modulated phase noise
+            m = np.sin(4.0 * p[..., 0] + 3.0 * np.sin(3.0 * p[..., 1])
+                       + 2.0 * np.sin(5.0 * p[..., 2]))
+            t = 0.5 + 0.5 * m
+            a = np.stack([0.85 * t + 0.35 * (1 - t), 0.3 + 0.45 * t,
+                          0.25 + 0.2 * t], -1)
+        elif tex == 4:
+            a = np.broadcast_to(np.array([0.2, 0.4, 0.9]), p.shape).copy()
+        elif tex == 5:
+            a = np.broadcast_to(np.array([0.95, 0.65, 0.15]), p.shape).copy()
+        else:
+            a = np.broadcast_to(np.array([0.2, 0.75, 0.35]), p.shape).copy()
+        return a.astype(np.float32)
+
+    d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    color = np.ones((*rays_o.shape[:-1], 3), np.float32)
+    depth = np.full(rays_o.shape[:-1], np.inf, np.float32)
+    hit_p = np.zeros_like(color)
+    hit_n = np.zeros_like(color)
+    hit_tex = np.full(rays_o.shape[:-1], -1, np.int32)
+    for center, radius, tex in prims:
+        oc = rays_o - center
+        b = np.sum(oc * d, -1)
+        c = np.sum(oc * oc, -1) - radius ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit &= t > 1e-3
+        closer = hit & (t < depth)
+        p = rays_o + d * t[..., None]
+        n = (p - center) / radius
+        hit_p = np.where(closer[..., None], p, hit_p)
+        hit_n = np.where(closer[..., None], n, hit_n)
+        hit_tex = np.where(closer, tex, hit_tex)
+        depth = np.where(closer, t, depth)
+
+    surf = hit_tex >= 0
+    lam = np.clip(np.sum(hit_n * light, -1), 0.12, 1.0)
+    # cast shadows: march a shadow ray from each surface point toward the
+    # light and attenuate if any sphere blocks it
+    shadow = np.ones(rays_o.shape[:-1], np.float32)
+    sp = hit_p + hit_n * 1e-3
+    for center, radius, _ in prims:
+        oc = sp - center
+        b = np.sum(oc * light, -1)
+        c = np.sum(oc * oc, -1) - radius ** 2
+        disc = b * b - c
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        blocked = (disc > 0) & (t > 1e-3)
+        shadow = np.where(surf & blocked, 0.35, shadow)
+    for tex in range(7):
+        m = hit_tex == tex
+        if not m.any():
+            continue
+        a = albedo_at(hit_p, hit_n, tex)
+        shaded = a * (lam * shadow)[..., None]
+        color = np.where(m[..., None], shaded, color)
+    return np.clip(color, 0.0, 1.0).astype(np.float32)
+
+
+def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1,
+                 scene="spheres"):
     """ss > 1: supersample the analytic render ss x ss per pixel and
     box-filter down — anti-aliased ground truth.  The aliased hard
     silhouettes of the ss=1 render put a ~22 dB ceiling on ANY smooth
@@ -63,8 +161,9 @@ def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1):
 
     camera_angle_x = 0.8
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+    tracer = {"spheres": ray_trace_scene, "clutter": ray_trace_clutter}[scene]
     gen_params = {"H": H, "W": W, "n_train": n_train, "n_val": n_val,
-                  "radius": radius, "ss": ss}
+                  "radius": radius, "ss": ss, "scene": scene}
     done_marker = os.path.join(root, ".complete")
     if os.path.exists(done_marker):
         # deterministic content — reuse across sweep runs, but only if it
@@ -88,7 +187,8 @@ def make_dataset(root, H=64, W=64, n_train=20, n_val=4, radius=4.0, ss=1):
             phi = -25.0 - 15.0 * rng.rand() if split == "train" else -30.0
             c2w = pose_spherical(theta - 180.0, phi, radius)
             ro, rd = get_rays_np(H * ss, W * ss, focal * ss, c2w[:3, :4])
-            img = ray_trace_scene(ro, rd)
+            img = tracer(ro.reshape(-1, 3), rd.reshape(-1, 3)).reshape(
+                H * ss, W * ss, 3)
             if ss > 1:
                 img = img.reshape(H, ss, W, ss, 3).mean((1, 3))
             rgba = np.concatenate(
@@ -180,6 +280,12 @@ def main():
                          "'off' forces the XLA render path for kernel A/Bs")
     ap.add_argument("--seed", type=int, default=0,
                     help="passthrough RNG seed (seed-variance studies)")
+    ap.add_argument("--scene", default="spheres",
+                    choices=("spheres", "clutter"),
+                    help="analytic scene: 'spheres' (two-sphere, the "
+                         "r02-r15 tuning scene) or 'clutter' (8 textured "
+                         "spheres, occlusion + cast shadows — the off-scene "
+                         "check on frontier defaults, VERDICT r03 task 6)")
     args_demo = ap.parse_args()
 
     if args_demo.cpu:
@@ -192,16 +298,19 @@ def main():
     from cfnerf_tpu.train.loop import train
     from cfnerf_tpu.utils.config import parse_args
 
-    scene_tag = f"scene_{args_demo.res}_{args_demo.n_train}_{args_demo.supersample}"
+    scene_tag = (f"scene_{args_demo.res}_{args_demo.n_train}_"
+                 f"{args_demo.supersample}")
+    if args_demo.scene != "spheres":
+        scene_tag = f"{args_demo.scene}_{scene_tag}"
     datadir = make_dataset(
         os.path.join(args_demo.outdir, scene_tag),
         H=args_demo.res, W=args_demo.res,
         n_train=args_demo.n_train, n_val=args_demo.n_val,
-        ss=args_demo.supersample,
+        ss=args_demo.supersample, scene=args_demo.scene,
     )
     basedir = os.path.join(args_demo.outdir, "logs")
     flags = [
-        "--expname", args_demo.expname, "--dataname", "spheres",
+        "--expname", args_demo.expname, "--dataname", args_demo.scene,
         "--basedir", basedir,
         "--datadir", datadir, "--dataset_type", "blender", "--testskip", "1",
         "--N_rand", str(args_demo.N_rand),

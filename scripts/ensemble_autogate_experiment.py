@@ -1,0 +1,159 @@
+"""EVAL_r18: the r13 ensemble re-run with AUTOMATED member gating
+(VERDICT r03 task 5).
+
+EVAL_r13's weak member (seed 2000, 26.8 dB) dragged the full M=3 mixture
+below its members; the fix — `cli.ensemble eval --members 1,3` — needed a
+human to read train-side PSNR.  That rule now lives in
+cli.ensemble.auto_member_subset (--members auto): members whose train-side
+PSNR median (from the run's own metrics.jsonl) sits more than 2 dB below
+the member median are dropped from the mixture.
+
+This experiment re-runs the exact r13 protocol (M=3 parallel one-jit
+training at the occ12 frontier recipe, seeds 1000/2000/3000,
+scripts/ensemble_frontier_experiment.py) and then:
+  1. evals each member and the full M=3 mixture,
+  2. lets --members auto pick the subset from metrics.jsonl,
+  3. evals the auto-selected subset mixture,
+asking: does the automated gate reproduce the r13 every-metric subset win
+without a human in the loop?  Reference surface: the ensemble checkpoint
+indexing, /root/reference/run_nerf_uncertainty_NF.py:713-716,:1086.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ensemble_autogate_experiment.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from demo_synthetic import make_dataset  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUTDIR = os.environ.get("R18_OUTDIR", "/tmp/cfnerf_r18")
+ITERS = int(os.environ.get("R18_ITERS", "20000"))
+RES = int(os.environ.get("R18_RES", "128"))
+N_TRAIN = int(os.environ.get("R18_NTRAIN", "50"))
+SMOKE = os.environ.get("R18_SMOKE", "") == "1"
+M = 3
+KEYS = ("psnr", "ssim", "nll", "ause")
+
+
+def _flags(datadir, basedir, iters):
+    # the EVAL_r09/r13 occ12 frontier recipe (boundaries scale with iters
+    # so the smoke tier exercises every stage)
+    return [
+        "--expname", "ens_autogate", "--dataname", "spheres",
+        "--basedir", basedir,
+        "--datadir", datadir, "--dataset_type", "blender", "--testskip", "1",
+        "--N_rand", "4096" if not SMOKE else "256",
+        "--N_samples", "48", "--K_samples", "32",
+        "--n_flows", "4", "--h_alpha_size", "64", "--h_rgb_size", "64",
+        "--netdepth", "8", "--netwidth", "384",
+        "--type_flows", "triangular", "--beta1", "0.01",
+        "--use_viewdirs", "--white_bkgd", "--no_ndc",
+        "--lrate", "5e-4", "--n_inner", "10",
+        "--n_iters", str(iters),
+        "--i_print", "200" if not SMOKE else "10",
+        "--i_weights", str(iters),
+        "--i_img", "0", "--chunk", "4096",
+        "--compute_dtype", "bfloat16",
+        "--k_schedule", f"8:0,16:{int(0.2 * iters)},32:{int(0.4 * iters)}",
+        "--occ_train", "12", "--occ_train_from", str(int(0.3 * iters)),
+        "--occ_floor", "0.3",
+        "--fused_render", "auto",
+    ]
+
+
+def main() -> None:
+    if SMOKE:
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from cfnerf_tpu.cli.ensemble import (
+        auto_member_subset,
+        eval_ensemble,
+        train_ensemble_parallel,
+    )
+    from cfnerf_tpu.cli.eval import evaluate
+    from cfnerf_tpu.utils.config import config_parser
+
+    datadir = make_dataset(
+        os.path.join(OUTDIR, f"scene_{RES}_{N_TRAIN}_4"), H=RES, W=RES,
+        n_train=N_TRAIN, n_val=4, ss=4,
+    )
+    basedir = os.path.join(OUTDIR, "logs")
+    flags = _flags(datadir, basedir, ITERS)
+
+    parser = config_parser()
+    parser.add_argument("--n_members", type=int, default=M)
+    args = parser.parse_args(flags + ["--is_train"])
+
+    t0 = time.time()
+    train_ensemble_parallel(args, M)
+    train_wall = time.time() - t0
+    print(f"parallel ensemble train wall: {train_wall:.1f}s")
+
+    members = {}
+    for m in range(1, M + 1):
+        margs = parser.parse_args(flags + ["--index_ensembles", str(m)])
+        margs.seed = args.seed + 1000 * m
+        s = evaluate(margs)
+        members[f"m{m}_seed{1000 * m}"] = {
+            k: round(float(s[k]), 4) for k in KEYS}
+        print(f"member {m}: {members[f'm{m}_seed{1000 * m}']}")
+
+    eargs = parser.parse_args(flags)
+    full = eval_ensemble(eargs, M)
+    # the automated gate (the deliverable): subset from metrics.jsonl alone
+    subset = auto_member_subset(eargs, M, threshold_db=2.0)
+    gated = (eval_ensemble(eargs, M, members=subset)
+             if len(subset) < M else full)
+
+    member_vals = list(members.values())
+    best = {k: (max if k in ("psnr", "ssim") else min)(
+        v[k] for v in member_vals) for k in KEYS}
+    full_m = {k: round(float(full[k]), 4) for k in KEYS}
+    gated_m = {k: round(float(gated[k]), 4) for k in KEYS}
+    beats_every_member = all(
+        (gated_m[k] >= best[k]) if k in ("psnr", "ssim") else
+        (gated_m[k] <= best[k]) for k in KEYS)
+
+    out = {
+        "experiment": (
+            "Automated ensemble member gating (EVAL_r18, VERDICT r03 task "
+            "5): the exact EVAL_r13 protocol re-run (M=3 one-jit parallel "
+            "training at the occ12 frontier recipe, seeds 1000/2000/3000, "
+            "20k iters, 128px AA two-sphere scene), then cli.ensemble "
+            "--members auto gates outlier members from the run's own "
+            "train-side PSNR (metrics.jsonl, threshold 2 dB below member "
+            "median) with no human in the loop."
+        ),
+        "hardware": "1x TPU v5e, fused render core + vmapped member axis",
+        "iters": ITERS,
+        "train_wall_s_total": round(train_wall, 1),
+        "members": members,
+        "mixture_full_M3": full_m,
+        "auto_selected_members": subset,
+        "mixture_auto_subset": gated_m,
+        "best_single_member": best,
+        "auto_subset_beats_every_member": bool(beats_every_member),
+    }
+    path = (os.path.join(OUTDIR, "EVAL_r18_smoke.json") if SMOKE
+            else os.path.join(REPO, "EVAL_r18.json"))
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print("wrote", path)
+    print(json.dumps({k: out[k] for k in (
+        "auto_selected_members", "mixture_full_M3", "mixture_auto_subset",
+        "auto_subset_beats_every_member")}))
+
+
+if __name__ == "__main__":
+    main()

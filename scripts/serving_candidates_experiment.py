@@ -1,0 +1,152 @@
+"""EVAL_r17: serving-side placement-candidates A/B (VERDICT r03 task 4).
+
+The serving point (proposal-guided occupancy placement, --occ_eval 16 —
+EVAL_r06, 1.373M rays/s, the repo's flagship claim vs the reference's
+K-sample inference entry /root/reference/run_nerf_uncertainty_NF.py:192-223)
+evaluates the proposal MLP on a C-point candidate grid per ray and inverts
+the CDF; C=128 was never swept on its own side.  Two halves:
+
+  speed:   scripts/probe_occ_candidates_serving.py (same-process
+           bench.bench_inference at the serving operating point) over
+           C in {192, 128, 96, 64};
+  quality: ONE donor checkpoint (the EVAL_r09 occ12 frontier recipe,
+           seed 0, 20k) re-evaluated at occ_eval 16 / floor 0.3 for each
+           C, plus the dense-N48 reference eval of the same checkpoint —
+           same protocol as the EVAL_r06 serving curve.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/serving_candidates_experiment.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get("R17_OUT", os.path.join(REPO, "EVAL_r17.json"))
+OUTDIR = os.environ.get("R17_OUTDIR", "/tmp/cfnerf_r17")
+LOG = os.environ.get("R17_LOG", "/tmp/r17_runs.log")
+CANDS = (192, 128, 96, 64)
+
+BASE = [
+    "--outdir", OUTDIR, "--res", "128", "--n_train", "50", "--n_val", "4",
+    "--supersample", "4",
+    "--netwidth", "384", "--netdepth", "8",
+    "--N_rand", "4096", "--iters", "20000",
+    "--expname", "r17_donor",
+    "--N_samples", "48", "--K_samples", "32",
+    "--k_schedule", "8:0,16:4000,32:8000",
+    "--occ_train", "12", "--occ_train_from", "6000",
+    "--occ_train_floor", "0.3",
+    "--seed", "0",
+]
+
+
+def run_demo(extra, log_fh, tag):
+    cmd = [sys.executable,
+           os.path.join(REPO, "scripts", "demo_synthetic.py")] + BASE + extra
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    log_fh.write(f"\n===== {tag} rc={proc.returncode} =====\n")
+    log_fh.write(proc.stdout[-8000:])
+    log_fh.flush()
+    m = re.search(r"DEMO SUMMARY: (\{.*\})", proc.stdout)
+    entry = {"rc": proc.returncode, "wall_s": round(time.time() - t0, 1)}
+    if m:
+        entry["eval"] = json.loads(m.group(1))
+    else:
+        entry["error_tail"] = proc.stdout[-2000:]
+    return entry
+
+
+def main() -> None:
+    state = {}
+    if os.path.exists(OUT):
+        state = json.load(open(OUT))
+        print(f"resuming: {sorted(state)} present")
+
+    with open(LOG, "a") as log_fh:
+        # 1. donor train + its dense-N48 eval (the quality reference)
+        if "donor_dense" not in state or state["donor_dense"].get("rc") != 0:
+            print(f"[{time.strftime('%H:%M:%S')}] training donor "
+                  "(occ12 frontier recipe, 20k, seed 0)", flush=True)
+            state["donor_dense"] = run_demo([], log_fh, "donor_train")
+            json.dump(state, open(OUT, "w"), indent=1)
+            print(f"  -> {state['donor_dense'].get('eval')}", flush=True)
+
+        # 2. same-checkpoint serving re-evals across C
+        for c in CANDS:
+            key = f"serve_c{c}"
+            if key in state and state[key].get("rc") == 0:
+                continue
+            print(f"[{time.strftime('%H:%M:%S')}] serving eval C={c}",
+                  flush=True)
+            state[key] = run_demo(
+                ["--skip_train", "--eval_occ", "16",
+                 "--eval_occ_impl", "proposal",
+                 "--eval_occ_candidates", str(c),
+                 "--eval_occ_floor", "0.3"],
+                log_fh, key,
+            )
+            json.dump(state, open(OUT, "w"), indent=1)
+            print(f"  -> {state[key].get('eval')}", flush=True)
+
+        # 3. speed probe (same-process A/B over C)
+        if "speed" not in state:
+            print(f"[{time.strftime('%H:%M:%S')}] speed probe", flush=True)
+            cmd = [sys.executable, os.path.join(
+                REPO, "scripts", "probe_occ_candidates_serving.py")]
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+            proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+            log_fh.write(f"\n===== speed probe rc={proc.returncode} =====\n")
+            log_fh.write(proc.stdout[-4000:])
+            m = re.search(r"PROBE SUMMARY: (\{.*\})", proc.stdout)
+            state["speed"] = (json.loads(m.group(1)) if m
+                              else {"error_tail": proc.stdout[-1500:]})
+            json.dump(state, open(OUT, "w"), indent=1)
+            print(f"  -> {state['speed']}", flush=True)
+
+    # 4. assemble the artifact
+    dense = state["donor_dense"].get("eval", {})
+    table = {}
+    for c in CANDS:
+        e = state.get(f"serve_c{c}", {}).get("eval", {})
+        if not e:
+            continue
+        table[str(c)] = {
+            "psnr": round(float(e["psnr"]), 4),
+            "ssim": round(float(e["ssim"]), 4),
+            "nll": round(float(e["nll"]), 4),
+            "ause": round(float(e["ause"]), 4),
+            "psnr_delta_vs_dense": round(e["psnr"] - dense["psnr"], 4),
+            "nll_delta_vs_dense": round(e["nll"] - dense["nll"], 4),
+            "infer_rays_per_sec": state.get("speed", {}).get(str(c)),
+        }
+    state["experiment"] = (
+        "Serving-side placement-candidates A/B (EVAL_r17, VERDICT r03 "
+        "task 4): one occ12-frontier donor checkpoint (W384 N48 K-sched, "
+        "20k, seed 0, 128px AA two-sphere scene) re-evaluated at occ_eval "
+        "16 / floor 0.3 with C in {192,128,96,64} placement candidates, "
+        "against its own dense-N48 eval; speed via same-process "
+        "bench.bench_inference at the 32k-ray serving point."
+    )
+    state["hardware"] = "1x TPU v5e, fused render core"
+    state["dense_reference"] = {k: round(float(dense[k]), 4)
+                                for k in ("psnr", "ssim", "nll", "ause")
+                                if k in dense}
+    state["serving_by_candidates"] = table
+    json.dump(state, open(OUT, "w"), indent=1)
+    print("wrote", OUT)
+    print(json.dumps(table, indent=1))
+
+
+if __name__ == "__main__":
+    main()

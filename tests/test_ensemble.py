@@ -60,3 +60,70 @@ def test_ensemble_train_and_eval(tmp_path):
         eval_ensemble(args, 2, members=[3])
     with pytest.raises(ValueError):
         eval_ensemble(args, 2, members=[])
+
+
+def _write_metrics(path, records):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_member_train_psnrs_tagged(tmp_path):
+    """Parallel-trained runs: per-member train/psnr_mXX keys."""
+    from cfnerf_tpu.cli.ensemble import member_train_psnrs
+
+    path = str(tmp_path / "metrics.jsonl")
+    recs = [
+        {"step": s, "train/psnr_m01": 30.0 + 0.01 * s,
+         "train/psnr_m02": 26.0, "train/psnr_m03": 30.5}
+        for s in range(20)
+    ]
+    _write_metrics(path, recs)
+    psnrs = member_train_psnrs(path, 3)
+    assert set(psnrs) == {1, 2, 3}
+    assert abs(psnrs[2] - 26.0) < 1e-9
+    assert psnrs[1] > 30.0 and psnrs[3] == 30.5
+
+
+def test_member_train_psnrs_serial_segments(tmp_path):
+    """Serial runs: untagged records segmented on step resets."""
+    from cfnerf_tpu.cli.ensemble import member_train_psnrs
+
+    path = str(tmp_path / "metrics.jsonl")
+    recs = []
+    for psnr in (29.0, 24.5, 30.2):  # three members in launch order
+        recs += [{"step": s, "train/psnr": psnr + 0.001 * s}
+                 for s in range(0, 50, 10)]
+    _write_metrics(path, recs)
+    psnrs = member_train_psnrs(path, 3)
+    assert abs(psnrs[1] - 29.0) < 0.1
+    assert abs(psnrs[2] - 24.5) < 0.1
+    assert abs(psnrs[3] - 30.2) < 0.1
+
+    with pytest.raises(ValueError, match="segment into 3"):
+        member_train_psnrs(path, 2)  # wrong member count is loud
+
+
+def test_auto_member_subset_drops_outlier(tmp_path):
+    """The EVAL_r13 scenario: member 2 trains ~4 dB below its peers and
+    --members auto drops exactly it."""
+    from cfnerf_tpu.cli.ensemble import auto_member_subset
+
+    basedir = str(tmp_path / "logs")
+    path = os.path.join(basedir, "spheres", "summaries", "e", "metrics.jsonl")
+    recs = [
+        {"step": s, "train/psnr_m01": 30.3, "train/psnr_m02": 26.4,
+         "train/psnr_m03": 30.1}
+        for s in range(0, 100, 10)
+    ]
+    _write_metrics(path, recs)
+
+    class A:
+        pass
+
+    a = A()
+    a.basedir, a.dataname, a.expname = basedir, "spheres", "e"
+    assert auto_member_subset(a, 3) == [1, 3]
+    # a permissive threshold keeps everyone
+    assert auto_member_subset(a, 3, threshold_db=10.0) == [1, 2, 3]
