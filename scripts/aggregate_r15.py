@@ -91,9 +91,9 @@ def main() -> None:
             "known' — zero-egress confirmed again; genuine LF/LLFF data "
             "remains environmental (EVAL_r10/r14 prior records)."
         ),
-        "iters": {k: v["iters"] for k, v in
-                  (("occ8_wall", {"iters": 25976}),
-                   ("cand64_wall", {"iters": 21056}))},
+        "iters": {arm: next((runs[k]["iters"] for k in runs
+                             if k.startswith(arm)), None)
+                  for arm in ("occ8_wall", "cand64_wall")},
         "rate_basis": {
             "occ12_rays_per_sec": 615300, "occ8_rays_per_sec": 877972,
             "cand128_rays_per_sec": 630313, "cand64_rays_per_sec": 677877,
