@@ -84,6 +84,10 @@ def main() -> None:
                     continue
                 print(f"[{time.strftime('%H:%M:%S')}] running {key}", flush=True)
                 runs[key] = run_one(name, arm, seed, log_fh)
+                if (runs[key]["rc"] != 0
+                        and "remote_compile" in runs[key].get("error_tail", "")):
+                    print(f"  retrying after remote_compile flake", flush=True)
+                    runs[key] = run_one(name, arm, seed, log_fh)
                 json.dump({"runs": runs}, open(OUT, "w"), indent=1)
                 e = runs[key].get("eval", {})
                 print(f"  -> rc={runs[key]['rc']} psnr={e.get('psnr')} "

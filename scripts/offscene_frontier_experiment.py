@@ -80,6 +80,10 @@ def main() -> None:
                   f"(iters={arm['n_iters']}, occ={arm['occ_train']})",
                   flush=True)
             runs[name] = run_one(name, arm, log_fh)
+            if (runs[name]["rc"] != 0
+                    and "remote_compile" in runs[name].get("error_tail", "")):
+                print("  retrying after remote_compile flake", flush=True)
+                runs[name] = run_one(name, arm, log_fh)
             with open(OUT, "w") as f:
                 json.dump({"offscene": runs}, f, indent=1)
             e = runs[name].get("eval", {})

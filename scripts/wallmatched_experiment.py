@@ -116,6 +116,14 @@ def main() -> None:
                 print(f"[{time.strftime('%H:%M:%S')}] running {key} "
                       f"(iters={arm['iters']})", flush=True)
                 runs[key] = run_one(name, arm, seed, log_fh)
+                if (runs[key]["rc"] != 0
+                        and "remote_compile" in runs[key].get("error_tail", "")):
+                    # transient compile-tunnel flake (occ8_wall_s0 hit
+                    # "response body closed before all bytes were read"
+                    # mid-run) — one immediate retry
+                    print(f"  retrying {key} after remote_compile flake",
+                          flush=True)
+                    runs[key] = run_one(name, arm, seed, log_fh)
                 with open(OUT, "w") as f:
                     json.dump({"wallmatched": runs}, f, indent=1)
                 e = runs[key].get("eval", {})
