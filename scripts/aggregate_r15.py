@@ -86,10 +86,11 @@ def main() -> None:
         "hardware": "1x TPU v5e, fused render core",
         "dataset_fetch_attempt": (
             "scripts/fetch_datasets.sh re-attempted this round "
-            "(2026-08-19): gdown absent; direct urllib to "
-            "drive.google.com fails with URLError 'Name or service not "
-            "known' — zero-egress confirmed again; genuine LF/LLFF data "
-            "remains environmental (EVAL_r10/r14 prior records)."
+            "(2026-08-20): gdown absent; direct urllib to "
+            "drive.google.com AND cseweb.ucsd.edu fails with URLError "
+            "'Name or service not known' — zero-egress confirmed again; "
+            "genuine LF/LLFF data remains environmental (EVAL_r10/r14 "
+            "prior records)."
         ),
         "iters": {arm: next((runs[k]["iters"] for k in runs
                              if k.startswith(arm)), None)

@@ -36,6 +36,11 @@ ARMS = {
     "occ12_20k": dict(n_iters=20000, occ_train=12),
     "occ12_100k": dict(n_iters=100000, occ_train=12),
 }
+# R16_ARMS=occ12_20k,dense_20k runs a subset (the 100k arm is ~3h on its
+# own — schedule it separately so the 20k deliverables land first)
+if os.environ.get("R16_ARMS"):
+    _sel = os.environ["R16_ARMS"].split(",")
+    ARMS = {k: v for k, v in ARMS.items() if k in _sel}
 
 
 def run_one(name: str, arm: dict, log_fh) -> dict:
