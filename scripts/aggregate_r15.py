@@ -73,6 +73,34 @@ def main() -> None:
         if len(done) == len(seeds):
             pooled[arm] = pool(done)
 
+    # Verdict from explicit numeric criteria (VERDICT r04 task 4): an arm
+    # is REJECTED at matched wall if pooled ΔPSNR vs occ12_20k < -0.25 dB
+    # AND it is worse at a majority of seeds; it REPLACES the frontier if
+    # pooled ΔPSNR >= -0.1 dB and pooled NLL is no worse; anything else is
+    # AMBIGUOUS (add seeds before calling it).
+    verdict_parts = []
+    for arm in ("occ8_wall", "cand64_wall"):
+        if arm not in pooled:
+            continue
+        dp = [paired[s][f"{arm}_delta_psnr_vs_occ12_20k"]
+              for s in seeds if arm in paired[s]]
+        d_pool = round(pooled[arm]["psnr"]["mean"]
+                       - pooled["occ12_20k"]["psnr"]["mean"], 4)
+        d_nll = round(pooled[arm]["nll"]["mean"]
+                      - pooled["occ12_20k"]["nll"]["mean"], 4)
+        n_worse = sum(1 for d in dp if d < 0)
+        if d_pool < -0.25 and n_worse * 2 > len(dp):
+            call = "REJECTED"
+        elif d_pool >= -0.1 and d_nll <= 0.0:
+            call = "NEW FRONTIER"
+        else:
+            call = "AMBIGUOUS (add seeds)"
+        verdict_parts.append(
+            f"{arm}: {call} — pooled ΔPSNR {d_pool:+.2f} dB vs occ12_20k "
+            f"(worse at {n_worse}/{len(dp)} seeds), ΔNLL {d_nll:+.2f} nat, "
+            f"over {len(dp)} paired seeds.")
+    verdict = "  ".join(verdict_parts)
+
     out = {
         "experiment": (
             "Wall-matched train-frontier study (EVAL_r15, VERDICT r03 "
@@ -101,6 +129,7 @@ def main() -> None:
         },
         "paired_by_seed": paired,
         "pooled": pooled,
+        "verdict": verdict,
     }
     if args.read:
         out["read"] = args.read

@@ -39,7 +39,12 @@ def main() -> None:
             continue
         table[name] = {m: round(float(e[m]), 4) for m in METRICS if m in e}
         table[name]["train_wall_s"] = e.get("train_wall_s")
-        table[name]["iters"] = entry["n_iters"]
+        table[name]["iters"] = entry.get("n_iters")
+
+    missing = [a for a in ARMS_20K if a not in table]
+    if missing:
+        raise SystemExit(f"sweep incomplete: missing 20k arms {missing} "
+                         f"(have {sorted(table)})")
 
     deltas = {}
     if "occ12_20k" in table:
@@ -52,6 +57,29 @@ def main() -> None:
         deltas["occ12_100k_vs_20k"] = {
             m: round(table["occ12_100k"][m] - table["occ12_20k"][m], 4)
             for m in METRICS}
+
+    # Verdict from explicit numeric criteria (VERDICT r04 task 4): the
+    # recipe "transfers" if occ12 is within 0.1 dB of BOTH dense and occ16
+    # at 20k; the 100k NLL-overfit flag fires on a >1 nat held-out NLL rise.
+    d_dense = deltas["occ12_vs_dense"]["psnr"]
+    d_occ16 = deltas["occ12_vs_occ16"]["psnr"]
+    transfers = d_dense >= -0.1 and d_occ16 >= -0.1
+    verdict = (
+        f"occ12 frontier recipe {'TRANSFERS to' if transfers else 'FAILS on'} "
+        f"the real-capture path: at 20k it scores {d_dense:+.2f} dB PSNR vs "
+        f"dense ({deltas['occ12_vs_dense']['nll']:+.2f} nat NLL, "
+        f"{deltas['occ12_vs_dense']['ause']:+.3f} AUSE) and {d_occ16:+.2f} dB "
+        f"vs occ16, at {table['dense_20k']['train_wall_s'] / max(table['occ12_20k']['train_wall_s'], 1e-9):.1f}x "
+        f"dense's training speed.")
+    if "occ12_100k_vs_20k" in deltas:
+        d100 = deltas["occ12_100k_vs_20k"]
+        overfit = d100["nll"] > 1.0
+        verdict += (
+            f"  At the reference's 100k schedule PSNR moves {d100['psnr']:+.2f} dB "
+            f"but held-out NLL moves {d100['nll']:+.2f} nat"
+            + (" — the EVAL_r11 long-schedule calibration blowup reproduces "
+               "off-scene; use the 20k schedule or the dense cooldown "
+               "(--occ_train_until) when NLL matters." if overfit else "."))
 
     out = {
         "experiment": (
@@ -70,6 +98,7 @@ def main() -> None:
                  "dataset_fetch_attempt in EVAL_r15.json)",
         "arms": table,
         "deltas": deltas,
+        "verdict": verdict,
         "runs_raw": {k: {kk: vv for kk, vv in v.items() if kk != "eval"}
                      for k, v in runs.items()},
     }

@@ -71,6 +71,14 @@ def run_one(name, arm, seed, log_fh):
     return entry
 
 
+def pooled_wall(runs, name):
+    """Mean train wall over the seeds that completed for this arm."""
+    walls = [runs[k]["eval"]["train_wall_s"] for k in runs
+             if k.startswith(name + "_s") and "eval" in runs[k]
+             and "train_wall_s" in runs[k]["eval"]]
+    return float(np.mean(walls)) if walls else 0.0
+
+
 def main() -> None:
     runs = {}
     if os.path.exists(OUT):
@@ -133,9 +141,33 @@ def main() -> None:
         "paired_by_seed": paired,
         "pooled": pooled,
     }
+
+    # Verdict from explicit numeric criteria (VERDICT r04 task 4): the occ
+    # ordering "transfers" to the clutter scene if pooled occ12 is within
+    # 0.25 dB of occ16 AND both occ arms beat dense on pooled PSNR.
+    if all(a in pooled for a in ARMS):
+        d12_16 = round(pooled["occ12"]["psnr"]["mean"]
+                       - pooled["occ16"]["psnr"]["mean"], 4)
+        d12_dense = round(pooled["occ12"]["psnr"]["mean"]
+                          - pooled["dense"]["psnr"]["mean"], 4)
+        d16_dense = round(pooled["occ16"]["psnr"]["mean"]
+                          - pooled["dense"]["psnr"]["mean"], 4)
+        transfers = d12_16 >= -0.25 and d12_dense > 0 and d16_dense > 0
+        out["verdict"] = (
+            f"occ ordering {'TRANSFERS' if transfers else 'DOES NOT transfer'} "
+            f"to the harder clutter scene over {len(SEEDS)} paired seeds: "
+            f"occ12 pools {pooled['occ12']['psnr']['mean']:.2f} dB "
+            f"({d12_16:+.2f} vs occ16, {d12_dense:+.2f} vs dense; "
+            f"occ16 {d16_dense:+.2f} vs dense), occ12 NLL "
+            f"{pooled['occ12']['nll']['mean']:+.2f} vs dense "
+            f"{pooled['dense']['nll']['mean']:+.2f} nat, at "
+            f"{pooled_wall(runs, 'dense') / max(pooled_wall(runs, 'occ12'), 1e-9):.1f}x "
+            f"dense's training speed.")
+
     json.dump(out, open(OUT, "w"), indent=1)
     print("wrote", OUT)
     print(json.dumps(pooled, indent=1))
+    print(out.get("verdict", ""))
 
 
 if __name__ == "__main__":

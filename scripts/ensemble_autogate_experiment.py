@@ -144,6 +144,22 @@ def main() -> None:
         "best_single_member": best,
         "auto_subset_beats_every_member": bool(beats_every_member),
     }
+
+    # Verdict from explicit numeric criteria (VERDICT r04 task 4).
+    dropped = sorted(set(range(1, M + 1)) - set(subset))
+    nlls = sorted(v["nll"] for v in member_vals)
+    nll_outlier = len(nlls) >= 2 and (nlls[-1] - nlls[0]) > 1.0
+    out["verdict"] = (
+        (f"Autogate DROPPED members {dropped} with no human in the loop; "
+         f"gated mixture {'BEATS' if beats_every_member else 'does NOT beat'} "
+         f"every member on every metric." if dropped else
+         f"Autogate KEPT all {M} members (no train-PSNR outlier beyond the "
+         f"2 dB gate) — correct no-false-positive behavior, but the EVAL_r13 "
+         f"bad-member event did not reproduce at these seeds.")
+        + (f"  Member NLL spread {nlls[0]:+.2f}..{nlls[-1]:+.2f} nat is a "
+           f"calibration outlier the train-PSNR gate cannot see — the "
+           f"held-out val gate (--gate_metric val_nll) is the fix."
+           if nll_outlier and not dropped else ""))
     path = (os.path.join(OUTDIR, "EVAL_r18_smoke.json") if SMOKE
             else os.path.join(REPO, "EVAL_r18.json"))
     with open(path, "w") as f:

@@ -143,9 +143,34 @@ def main() -> None:
                                 for k in ("psnr", "ssim", "nll", "ause")
                                 if k in dense}
     state["serving_by_candidates"] = table
+
+    # Verdict from explicit numeric criteria (VERDICT r04 task 4): C is
+    # quality-equivalent to the C=128 default if |ΔPSNR| <= 0.05 dB and
+    # |ΔNLL| <= 0.05 nat against it; the call is the FASTEST equivalent C.
+    if "128" in table:
+        base = table["128"]
+        equiv = [c for c in table
+                 if abs(table[c]["psnr"] - base["psnr"]) <= 0.05
+                 and abs(table[c]["nll"] - base["nll"]) <= 0.05
+                 and table[c].get("infer_rays_per_sec")]
+        if equiv:
+            best = max(equiv, key=lambda c: table[c]["infer_rays_per_sec"])
+            rate, base_rate = (table[best]["infer_rays_per_sec"],
+                               base.get("infer_rays_per_sec") or 1.0)
+            state["verdict"] = (
+                f"Serving-side placement candidates DO NOT move quality on "
+                f"this checkpoint (max |ΔPSNR| "
+                f"{max(abs(table[c]['psnr'] - base['psnr']) for c in table):.3f} dB "
+                f"across C in {sorted(int(c) for c in table)}); C={best} is the "
+                f"fastest quality-equivalent setting at {rate:,.0f} rays/s "
+                f"({rate / base_rate:.2f}x the C=128 default) — serving should "
+                f"default to --occ_candidates {best}; train-side keeps C=128 "
+                f"(EVAL_r14/r15 showed the coarser grid costs quality there).")
+
     json.dump(state, open(OUT, "w"), indent=1)
     print("wrote", OUT)
     print(json.dumps(table, indent=1))
+    print(state.get("verdict", ""))
 
 
 if __name__ == "__main__":
