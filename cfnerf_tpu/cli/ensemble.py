@@ -178,6 +178,56 @@ def train_ensemble_parallel(args, n_members: int) -> None:
         loss_mode=loss_mode_for_model(getattr(args, "model", None)),
     )
 
+    # held-out internal-val stream, per member (the stream the reference
+    # builds and never consumes, run_nerf_uncertainty_NF.py:877-885,
+    # :954-963; the serial trainer logs val/mse+val/psnr — here each member
+    # renders the SAME val ray batch in test mode so the per-member scalars
+    # are a paired comparison, feeding the --gate_metric val_psnr/val_nll
+    # autogate).  Val renders consume no training RNG: member trajectories
+    # are bit-identical with or without this stream.
+    val_batcher, val_fn = None, None
+    if (use_batching and args.i_print > 0
+            and len(scene["i_val_internal"]) > 0):
+        rays_rgb_val = precompute_rays(
+            scene["images"], scene["poses"], focal, scene["i_val_internal"],
+            seed=args.seed + 1,
+        )
+        if rays_rgb_val.shape[0] >= args.N_rand:
+            val_batcher = RayBatcher(
+                rays_rgb_val, args.N_rand, seed=args.seed + 1,
+                mesh_divisor=n_data,
+            )
+            from cfnerf_tpu.models.nerf_flows import make_fused_apply
+            from cfnerf_tpu.ops.metrics import img2mse, mse2psnr
+            from cfnerf_tpu.render.renderer import make_render_rays, prepare_rays
+            from cfnerf_tpu.train.loss import kde_nll
+
+            render_val = make_render_rays(
+                lambda p, x, *, is_test, rng: model.apply(
+                    {"params": p}, x, is_test=is_test, rng=rng),
+                render_config, None,
+                make_fused_apply(model, render_config.fused),
+            )
+
+            def _member_val(p, ro, rd, target):
+                ro2, rd2, vd, near_v, far_v = prepare_rays(
+                    ro, rd, H=H, W=W, focal=focal, ndc=tc.ndc,
+                    use_viewdirs=args.use_viewdirs,
+                    near=scene["near"], far=scene["far"],
+                )
+                out = render_val(params=p, rays_o=ro2, rays_d=rd2,
+                                 viewdirs=vd, near=near_v, far=far_v,
+                                 rng=None, is_test=True)
+                mse = img2mse(out["rgb_map"].mean(-1), target)
+                nll = kde_nll(out["rgb_map"], target, args.K_samples)
+                return mse, mse2psnr(mse), nll
+
+            @jax.jit
+            def val_fn(ps, ro, rd, target):
+                return jax.vmap(
+                    _member_val, in_axes=(0, None, None, None)
+                )(ps, ro, rd, target)
+
     # --- stage machinery (K-schedule / occ), ensemble-step flavored ---
     occ_n = int(getattr(args, "occ_train", 0) or 0)
     occ_from = int(getattr(args, "occ_train_from", 0) or 0)
@@ -333,6 +383,15 @@ def train_ensemble_parallel(args, n_members: int) -> None:
             }
             for m in range(n_members):
                 scalars[f"train/psnr_m{m + 1:02d}"] = float(metrics["psnr"][m])
+            if val_fn is not None:
+                vb = val_batcher.next()
+                v_mse, v_psnr, v_nll = jax.device_get(val_fn(
+                    params, vb["rays_o"], vb["rays_d"], vb["target"]))
+                scalars["val/mse"] = float(np.mean(v_mse))
+                scalars["val/psnr"] = float(np.mean(v_psnr))
+                for m in range(n_members):
+                    scalars[f"val/psnr_m{m + 1:02d}"] = float(v_psnr[m])
+                    scalars[f"val/nll_m{m + 1:02d}"] = float(v_nll[m])
             logger.scalars(i, scalars)
             print(f"[ensemble-parallel] step {i}: "
                   f"loss={scalars['train/loss']:.4f} "
@@ -343,17 +402,24 @@ def train_ensemble_parallel(args, n_members: int) -> None:
     print("Ensemble-parallel training complete.")
 
 
-def member_train_psnrs(metrics_path: str, n_members: int,
-                       window: int = 10) -> dict:
-    """Per-member train-side PSNR medians from a run's metrics.jsonl.
+def member_metric_medians(metrics_path: str, n_members: int,
+                          metric: str = "train/psnr",
+                          window: int = 10) -> dict:
+    """Per-member medians of a logged scalar from a run's metrics.jsonl.
 
     Parallel-trained runs (train_ensemble_parallel) log a tagged
-    `train/psnr_mXX` scalar per member — read those directly.  Serial
+    `<metric>_mXX` scalar per member — read those directly.  Serial
     runs (train_ensemble) append each member's records into the same
     summaries file with no member tag; their step counters ascend per
     member and reset when the next member starts, so records are
     segmented on step resets and attributed to members 1..M in launch
-    order.  Returns {member: median of the last `window` PSNR values}.
+    order.  Returns {member: median of the last `window` values}.
+
+    `metric` is the logged scalar name: "train/psnr" (always present),
+    or the held-out stream "val/psnr" / "val/nll" (logged at i_print
+    cadence when the run had an internal-val split — the stream the
+    reference builds and never consumes, run_nerf_uncertainty_NF.py
+    :877-885, :954-963).
     """
     recs = []
     with open(metrics_path) as f:
@@ -364,7 +430,7 @@ def member_train_psnrs(metrics_path: str, n_members: int,
 
     tagged = {}
     for m in range(1, n_members + 1):
-        key = f"train/psnr_m{m:02d}"
+        key = f"{metric}_m{m:02d}"
         vals = [r[key] for r in recs if key in r]
         if vals:
             tagged[m] = float(np.median(vals[-window:]))
@@ -372,16 +438,20 @@ def member_train_psnrs(metrics_path: str, n_members: int,
         return tagged
     if tagged:
         raise ValueError(
-            f"{metrics_path}: found tagged train PSNR for members "
+            f"{metrics_path}: found tagged {metric} for members "
             f"{sorted(tagged)} but n_members={n_members} — partial "
             "parallel-training log; pass an explicit --members subset"
         )
 
-    # serial fallback: segment untagged train/psnr records on step resets
-    seq = [(r["step"], r["train/psnr"]) for r in recs
-           if "train/psnr" in r and "step" in r]
+    # serial fallback: segment untagged records on step resets
+    seq = [(r["step"], r[metric]) for r in recs
+           if metric in r and "step" in r]
     if not seq:
-        raise ValueError(f"{metrics_path}: no train/psnr records")
+        raise ValueError(
+            f"{metrics_path}: no {metric} records"
+            + (" — val scalars require an internal-val split (logged at "
+               "i_print cadence); gate on train_psnr instead"
+               if metric.startswith("val/") else ""))
     segments, cur = [], [seq[0]]
     for prev, nxt in zip(seq, seq[1:]):
         if nxt[0] <= prev[0]:
@@ -399,27 +469,67 @@ def member_train_psnrs(metrics_path: str, n_members: int,
             for m, seg in enumerate(segments, 1)}
 
 
+def member_train_psnrs(metrics_path: str, n_members: int,
+                       window: int = 10) -> dict:
+    """Back-compat wrapper: per-member train-side PSNR medians."""
+    return member_metric_medians(metrics_path, n_members, "train/psnr",
+                                 window=window)
+
+
+# gate metric registry: logged scalar name, whether HIGHER is better, the
+# unit label, and which threshold argument applies (dB for PSNR gates,
+# nat for the NLL gate).
+GATE_METRICS = {
+    "train_psnr": ("train/psnr", True, "dB"),
+    "val_psnr": ("val/psnr", True, "dB"),
+    "val_nll": ("val/nll", False, "nat"),
+}
+
+
 def auto_member_subset(args, n_members: int,
-                       threshold_db: float = 2.0) -> List[int]:
+                       threshold_db: float = 2.0,
+                       gate_metric: str = "train_psnr",
+                       threshold_nat: float = 1.0) -> List[int]:
     """The EVAL_r13 lesson, automated: a bad ensemble member is
-    identifiable from TRAIN-side PSNR alone (the weak seed trained 5+ dB
-    below its peers throughout — no val data needed).  Flags members whose
-    train PSNR median sits more than `threshold_db` below the member
-    median and returns the surviving subset for the mixture.
+    identifiable from the run's own logged scalars with no human in the
+    loop.  Flags members whose per-member median sits more than the
+    threshold on the wrong side of the member median and returns the
+    surviving subset for the mixture.
+
+    Gate metrics (--gate_metric):
+      train_psnr  (default) — the EVAL_r13 failure mode: the weak seed
+                  trained 5+ dB below its peers throughout.
+      val_psnr    — same statistic on the held-out internal-val stream,
+                  robust to train-side overfit (the EVAL_r11 100k overfit
+                  trained fine but collapsed held-out).
+      val_nll     — held-out calibration: EVAL_r18's member 2 matched its
+                  peers on train PSNR (32.2 vs 32.5 dB median) but sat
+                  ~1.8 nat worse on held-out NLL — invisible to the PSNR
+                  gates, caught here.  Threshold is --members_auto_nat
+                  ABOVE the member median (lower NLL is better).
     """
+    if gate_metric not in GATE_METRICS:
+        raise ValueError(f"--gate_metric {gate_metric!r} not in "
+                         f"{sorted(GATE_METRICS)}")
+    metric, higher_better, unit = GATE_METRICS[gate_metric]
+    threshold = threshold_db if unit == "dB" else threshold_nat
     metrics_path = os.path.join(
         args.basedir, args.dataname, "summaries", args.expname,
         "metrics.jsonl",
     )
-    psnrs = member_train_psnrs(metrics_path, n_members)
-    med = float(np.median(list(psnrs.values())))
-    keep = [m for m in sorted(psnrs) if psnrs[m] >= med - threshold_db]
-    dropped = [m for m in sorted(psnrs) if m not in keep]
-    report = ", ".join(f"m{m:02d}={psnrs[m]:.2f} dB"
+    meds = member_metric_medians(metrics_path, n_members, metric)
+    med = float(np.median(list(meds.values())))
+    if higher_better:
+        keep = [m for m in sorted(meds) if meds[m] >= med - threshold]
+    else:
+        keep = [m for m in sorted(meds) if meds[m] <= med + threshold]
+    dropped = [m for m in sorted(meds) if m not in keep]
+    report = ", ".join(f"m{m:02d}={meds[m]:.2f} {unit}"
                        + (" [DROPPED]" if m in dropped else "")
-                       for m in sorted(psnrs))
-    print(f"--members auto: train-side PSNR medians {report} "
-          f"(member median {med:.2f}, threshold -{threshold_db:.1f} dB)")
+                       for m in sorted(meds))
+    sign = "-" if higher_better else "+"
+    print(f"--members auto: {metric} medians {report} "
+          f"(member median {med:.2f}, threshold {sign}{threshold:.1f} {unit})")
     if not keep:
         # degenerate (all members equally bad relative to a skewed median
         # can't happen, but guard anyway): gate nothing
@@ -591,9 +701,23 @@ def main(argv=None):
     )
     parser.add_argument(
         "--members_auto_db", type=float, default=2.0,
-        help="--members auto gate: drop members whose train-side PSNR "
-             "median is more than this many dB below the member median "
+        help="--members auto gate: drop members whose PSNR-gate median "
+             "is more than this many dB below the member median "
              "(EVAL_r13's bad seed sat 3.5-5 dB low)",
+    )
+    parser.add_argument(
+        "--gate_metric", type=str, default="train_psnr",
+        choices=sorted(GATE_METRICS),
+        help="--members auto gate signal: train_psnr (EVAL_r13 failure "
+             "mode), or the held-out internal-val stream val_psnr / "
+             "val_nll (robust to train-side overfit; val_nll catches "
+             "calibration outliers the PSNR gates cannot see — EVAL_r18)",
+    )
+    parser.add_argument(
+        "--members_auto_nat", type=float, default=1.0,
+        help="--gate_metric val_nll threshold: drop members whose val NLL "
+             "median is more than this many nat ABOVE the member median "
+             "(EVAL_r18's calibration outlier sat ~1.8 nat high)",
     )
     args = parser.parse_args(argv)
     if mode == "train":
@@ -604,7 +728,9 @@ def main(argv=None):
     else:
         if args.members.strip().lower() == "auto":
             subset = auto_member_subset(
-                args, args.n_members, threshold_db=args.members_auto_db
+                args, args.n_members, threshold_db=args.members_auto_db,
+                gate_metric=args.gate_metric,
+                threshold_nat=args.members_auto_nat,
             )
         else:
             subset = ([int(s) for s in args.members.split(",") if s.strip()]

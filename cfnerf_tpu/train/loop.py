@@ -113,6 +113,35 @@ def occ_floor_for_step(step: int, occ_from: int, anneal: int,
     return floor_start + (floor_end - floor_start) * t
 
 
+class ValEarlyStop:
+    """--early_stop_val: the held-out val stream's consumer with teeth.
+
+    Stops training once val/psnr has not improved by `min_delta` dB for
+    `patience` consecutive val evaluations (i_print cadence).  The
+    reference builds exactly this ray stream and never consumes it
+    (run_nerf_uncertainty_NF.py:877-885 builds, :954-963 slices and
+    drops); EVAL_r11's 100k overfit (train PSNR still rising, held-out
+    NLL collapsing) is the failure mode this catches.
+    """
+
+    def __init__(self, patience: int, min_delta: float = 0.01):
+        if patience <= 0:
+            raise ValueError(f"patience must be > 0, got {patience}")
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = -np.inf
+        self.stale = 0
+
+    def update(self, val_psnr: float) -> bool:
+        """Record one val evaluation; True means stop now."""
+        if val_psnr > self.best + self.min_delta:
+            self.best = float(val_psnr)
+            self.stale = 0
+        else:
+            self.stale += 1
+        return self.stale >= self.patience
+
+
 def load_dataset(args):
     """Dataset dispatch (reference :730-801). Returns a dict of scene data."""
     if args.dataset_type == "llff":
@@ -426,6 +455,7 @@ def train(args) -> None:
     if val_batcher is not None:
         from cfnerf_tpu.ops.metrics import img2mse, mse2psnr
         from cfnerf_tpu.render.renderer import prepare_rays
+        from cfnerf_tpu.train.loss import kde_nll
 
         @jax.jit
         def val_metrics_fn(p, ro, rd, target):
@@ -438,7 +468,11 @@ def train(args) -> None:
                                    viewdirs=vd, near=near_v, far=far_v,
                                    rng=None, is_test=True)
             mse = img2mse(out["rgb_map"].mean(-1), target)
-            return mse, mse2psnr(mse)
+            # held-out KDE NLL over the K test draws: the calibration
+            # signal train-side scalars can't show (EVAL_r11's 100k
+            # overfit trained fine but collapsed here)
+            nll = kde_nll(out["rgb_map"], target, args.K_samples)
+            return mse, mse2psnr(mse), nll
 
     # --- occ stage config (proposal-placed training, step.OccTrainConfig) ---
     occ_n = int(getattr(args, "occ_train", 0) or 0)
@@ -583,6 +617,19 @@ def train(args) -> None:
 
         prefetcher = BatchPrefetcher(_device_batch, start)
 
+    early_stop = None
+    if int(getattr(args, "early_stop_val", 0) or 0) > 0:
+        if val_metrics_fn is None:
+            print("WARNING: --early_stop_val needs the internal-val ray "
+                  "stream (batching path + a non-empty val split); hook "
+                  "disabled for this run")
+        else:
+            early_stop = ValEarlyStop(args.early_stop_val,
+                                      args.early_stop_min_delta)
+            print(f"early-stop hook armed: patience "
+                  f"{args.early_stop_val} val evals (i_print cadence), "
+                  f"min delta {args.early_stop_min_delta} dB")
+
     def _run_loop(params, opt_state, rng, img_log_idx):
         prof_state = 0  # 0 = pending, 1 = tracing, 2 = done
         i = start
@@ -703,13 +750,24 @@ def train(args) -> None:
                     # (the internal-val stream the reference slices at
                     # :954-963 but never consumes)
                     vb = shard_batch(mesh, val_batcher.next())
-                    v_mse, v_psnr = val_metrics_fn(
+                    v_mse, v_psnr, v_nll = val_metrics_fn(
                         params, vb["rays_o"], vb["rays_d"], vb["target"]
                     )
                     scalars["val/mse"] = float(v_mse)
                     scalars["val/psnr"] = float(v_psnr)
+                    scalars["val/nll"] = float(v_nll)
                 logger.scalars(i, scalars)
                 logger.console(i, scalars, args.colmap_depth)
+
+                if early_stop is not None and early_stop.update(
+                        scalars["val/psnr"]):
+                    print(f"early stop at step {i}: val/psnr stale for "
+                          f"{early_stop.patience} evals (best "
+                          f"{early_stop.best:.2f} dB)")
+                    path = ckpt.save_checkpoint(
+                        rundir, i, params, opt_state, args.index_ensembles)
+                    print("Saved checkpoints at", path)
+                    return
 
             if i > start + 1 and _crossed(i_prev, i, args.i_img):
                 for prefix, idx_list in (("train/", scene["i_train"]), ("val/", scene["i_val"])):

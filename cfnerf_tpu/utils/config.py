@@ -222,6 +222,17 @@ def config_parser() -> ConfigArgumentParser:
                              "recovery lever)")
     parser.add_argument("--occ_dilate", type=int, default=1,
                         help="3x3x3 max-pool dilation passes on the baked grid")
+    parser.add_argument("--early_stop_val", type=int, default=0,
+                        help="stop training when held-out val/psnr (the "
+                             "internal-val ray stream, logged at i_print "
+                             "cadence) has not improved for this many "
+                             "consecutive val evaluations (0 = off).  The "
+                             "reference builds the val stream and never "
+                             "consumes it (run_nerf_uncertainty_NF.py"
+                             ":877-885, :954-963)")
+    parser.add_argument("--early_stop_min_delta", type=float, default=0.01,
+                        help="minimum val/psnr improvement (dB) that resets "
+                             "the --early_stop_val patience counter")
     parser.add_argument("--perturb", type=float, default=1.0)
     parser.add_argument("--use_viewdirs", action="store_true")
     parser.add_argument("--i_embed", type=int, default=0)

@@ -127,3 +127,64 @@ def test_auto_member_subset_drops_outlier(tmp_path):
     assert auto_member_subset(a, 3) == [1, 3]
     # a permissive threshold keeps everyone
     assert auto_member_subset(a, 3, threshold_db=10.0) == [1, 2, 3]
+
+
+def test_member_metric_medians_val_tags(tmp_path):
+    """Round 5: the generalized reader pulls any tagged scalar — here the
+    held-out val stream the parallel trainer logs per member."""
+    from cfnerf_tpu.cli.ensemble import member_metric_medians
+
+    path = str(tmp_path / "metrics.jsonl")
+    recs = [
+        {"step": s,
+         "train/psnr_m01": 30.0, "train/psnr_m02": 30.1, "train/psnr_m03": 29.9,
+         "val/psnr_m01": 28.0, "val/psnr_m02": 24.0, "val/psnr_m03": 28.2,
+         "val/nll_m01": -6.1, "val/nll_m02": -4.3, "val/nll_m03": -6.2}
+        for s in range(0, 100, 10)
+    ]
+    _write_metrics(path, recs)
+    nlls = member_metric_medians(path, 3, "val/nll")
+    assert abs(nlls[2] - (-4.3)) < 1e-9 and nlls[1] < -6.0
+    psnrs = member_metric_medians(path, 3, "val/psnr")
+    assert abs(psnrs[2] - 24.0) < 1e-9
+
+    # a missing val stream fails loudly with the remedy in the message
+    bare = str(tmp_path / "bare.jsonl")
+    _write_metrics(bare, [{"step": s, "train/psnr": 30.0} for s in range(5)])
+    with pytest.raises(ValueError, match="train_psnr instead"):
+        member_metric_medians(bare, 1, "val/nll")
+
+
+def test_auto_member_subset_gate_metrics(tmp_path):
+    """The EVAL_r18 scenario: member 2 matches its peers on train PSNR but
+    is a held-out calibration outlier — invisible to the train_psnr gate,
+    dropped by the val_nll gate; val_psnr catches a held-out PSNR laggard
+    (the EVAL_r11 overfit signature)."""
+    from cfnerf_tpu.cli.ensemble import auto_member_subset
+
+    basedir = str(tmp_path / "logs")
+    path = os.path.join(basedir, "spheres", "summaries", "g", "metrics.jsonl")
+    recs = [
+        {"step": s,
+         # train PSNR: everyone within the 2 dB gate (EVAL_r18: 33.4/32.2/32.5)
+         "train/psnr_m01": 33.4, "train/psnr_m02": 32.2, "train/psnr_m03": 32.5,
+         # held-out: member 2 ~1.8 nat worse NLL, member 3 4 dB worse PSNR
+         "val/psnr_m01": 28.4, "val/psnr_m02": 28.0, "val/psnr_m03": 24.2,
+         "val/nll_m01": -6.13, "val/nll_m02": -4.34, "val/nll_m03": -6.16}
+        for s in range(0, 100, 10)
+    ]
+    _write_metrics(path, recs)
+
+    class A:
+        pass
+
+    a = A()
+    a.basedir, a.dataname, a.expname = basedir, "spheres", "g"
+    assert auto_member_subset(a, 3) == [1, 2, 3]  # train gate sees nothing
+    assert auto_member_subset(a, 3, gate_metric="val_nll") == [1, 3]
+    assert auto_member_subset(a, 3, gate_metric="val_psnr") == [1, 2]
+    # permissive NLL threshold keeps everyone (direction: ABOVE median)
+    assert auto_member_subset(a, 3, gate_metric="val_nll",
+                              threshold_nat=10.0) == [1, 2, 3]
+    with pytest.raises(ValueError, match="gate_metric"):
+        auto_member_subset(a, 3, gate_metric="train_nll")

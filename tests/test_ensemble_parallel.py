@@ -5,6 +5,7 @@ axis must reproduce per-member serial training exactly, shard over the
 The reference has no counterpart (ensembles are M separate script launches,
 run_nerf_uncertainty_NF.py:713-716); the correctness anchor is our own
 single-run train step, whose parity is pinned by the golden suite."""
+import json
 import os
 
 import jax
@@ -284,6 +285,16 @@ def test_ensemble_parallel_cli_e2e(tmp_path):
     assert summary["n_members"] == 2
     for key in ("psnr", "ssim", "nll", "ause"):
         assert np.isfinite(summary[key])
+
+    # per-member held-out val stream (round 5: feeds --gate_metric
+    # val_psnr / val_nll): tagged scalars logged at i_print cadence
+    mfile = os.path.join(basedir, "tiny", "summaries", "ensp",
+                         "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mfile)]
+    for key in ("val/psnr_m01", "val/psnr_m02",
+                "val/nll_m01", "val/nll_m02"):
+        assert any(key in r for r in recs), key
+        assert all(np.isfinite(r.get(key, 0.0)) for r in recs)
 
     # scan-trainer flavor + K-schedule stage boundary on resume
     args.n_inner = 2

@@ -55,6 +55,10 @@ def test_blender_train_ckpt_resume_render(tmp_path):
     assert any("val/mse" in r for r in recs)
     assert all(np.isfinite(r.get("val/mse", 0.0)) for r in recs)
     assert any("val/psnr" in r for r in recs)
+    # held-out KDE NLL rides the same stream (round 5: the calibration
+    # signal for --gate_metric val_nll and overfit detection)
+    assert any("val/nll" in r for r in recs)
+    assert all(np.isfinite(r.get("val/nll", 0.0)) for r in recs)
 
     # resume: starts from step 10 and runs to 12 again (no crash, new ckpt dir kept)
     args2 = _base_args(datadir, basedir)
