@@ -191,8 +191,18 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--occ_res", type=int, default=128,
                         help="occupancy grid resolution per axis (grid impl)")
     parser.add_argument("--occ_candidates", type=int, default=128,
-                        help="candidate bins per ray for placement "
-                             "(128 is the EVAL_r06/r07 validated point)")
+                        help="candidate bins per ray for TRAIN-side "
+                             "placement (128 is the EVAL_r06/r07 validated "
+                             "point; EVAL_r14/r15: coarser grids cost "
+                             "quality where gradients flow through "
+                             "placement)")
+    parser.add_argument("--occ_eval_candidates", type=int, default=64,
+                        help="candidate bins per ray for SERVING-side "
+                             "placement (--occ_eval / render_only): "
+                             "EVAL_r17 measured quality FLAT across C in "
+                             "{64..192} (max 0.009 dB) with C=64 serving "
+                             "1.17x faster than 128 — 64 is the default; "
+                             "0 falls back to --occ_candidates")
     parser.add_argument("--occ_floor", type=float, default=0.3,
                         help="uniform mixture mass in the placement pdf: "
                              "free-space coverage for the composite and the "

@@ -77,7 +77,7 @@ def run_spiral(flags_str: str, log_fh) -> dict:
         "from cfnerf_tpu.utils.config import parse_args\n"
         f"flags = json.loads(sys.argv[1])\n"
         "args = parse_args(flags + ['--render_only', '--occ_eval', '16',"
-        " '--occ_candidates', '64'])\n"
+        " '--occ_eval_candidates', '64'])\n"
         "train(args)\n"
     )
     cmd = [sys.executable, "-c", code, json.dumps(flags_str.split())]

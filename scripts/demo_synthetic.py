@@ -363,7 +363,7 @@ def main():
             "--occ_eval", str(args_demo.eval_occ),
             "--occ_impl", args_demo.eval_occ_impl,
             "--occ_res", str(args_demo.eval_occ_res),
-            "--occ_candidates", str(args_demo.eval_occ_candidates),
+            "--occ_eval_candidates", str(args_demo.eval_occ_candidates),
             "--occ_floor", str(args_demo.eval_occ_floor),
         ]
     summary = evaluate(parse_args(eval_flags))

@@ -54,7 +54,7 @@ def test_eval_cli(tmp_path):
     # occupancy-grid accelerated eval on the same checkpoint: bakes the
     # density grid, renders at a smaller grid-placed N, full metrics out
     args_occ = _args(datadir, basedir, extra=[
-        "--occ_eval", "8", "--occ_res", "16", "--occ_candidates", "32",
+        "--occ_eval", "8", "--occ_res", "16", "--occ_eval_candidates", "32",
     ])
     summary_occ = evaluate(args_occ)
     assert len(summary_occ["views"]) == 2

@@ -264,3 +264,30 @@ def test_density_fn_and_wrapper_in_lax_map():
     # train-mode path (stratified placement draws) stays finite too
     out_tr = occ(params, ro, rd, vd, near, far, jax.random.PRNGKey(3), is_test=False)
     assert np.isfinite(np.asarray(out_tr["rgb_map"])).all()
+
+
+def test_serving_candidates_resolution():
+    """EVAL_r17 (round 5): serving defaults to C=64 via
+    --occ_eval_candidates, independent of the train-side --occ_candidates;
+    0 falls back to the train-side flag; legacy args objects without the
+    attribute fall back too."""
+    from types import SimpleNamespace
+
+    from cfnerf_tpu.ops.occupancy import serving_candidates
+    from cfnerf_tpu.utils.config import parse_args
+
+    args = parse_args(["--datadir", "x", "--expname", "e"])
+    assert args.occ_candidates == 128        # train-side default
+    assert serving_candidates(args) == 64    # serving default (EVAL_r17)
+
+    args = parse_args(["--datadir", "x", "--expname", "e",
+                       "--occ_eval_candidates", "96"])
+    assert serving_candidates(args) == 96
+
+    args = parse_args(["--datadir", "x", "--expname", "e",
+                       "--occ_eval_candidates", "0",
+                       "--occ_candidates", "192"])
+    assert serving_candidates(args) == 192   # explicit fallback
+
+    legacy = SimpleNamespace(occ_candidates=128)
+    assert serving_candidates(legacy) == 128

@@ -79,7 +79,7 @@ def test_blender_train_ckpt_resume_render(tmp_path):
     args4 = _base_args(datadir, basedir, extra=[
         "--render_test", "--render_factor", "2",
         "--occ_eval", "8", "--occ_impl", "grid", "--occ_res", "16",
-        "--occ_candidates", "32",
+        "--occ_eval_candidates", "32",
     ])
     args4.is_train = False
     args4.render_only = True
