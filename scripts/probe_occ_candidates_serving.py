@@ -31,7 +31,12 @@ from bench import bench_inference  # noqa: E402
 
 def main() -> None:
     out = {}
-    for c in (192, 128, 96, 64):
+    # default sweep now extends below 64 (EVAL_r17 found quality flat down
+    # to C=64 with speed monotonic in 1/C; EVAL_r23 asks whether 48/32
+    # stay flat — 2-3x oversampling of the N=16 placed samples)
+    cands = tuple(int(c) for c in os.environ.get(
+        "PROBE_CANDS", "192,128,96,64,48,32").split(","))
+    for c in cands:
         r = bench_inference(32768, occ_n=16, net_width=384, occ_candidates=c,
                             occ_impl="proposal")
         out[str(c)] = round(r, 1)

@@ -29,7 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.environ.get("R17_OUT", os.path.join(REPO, "EVAL_r17.json"))
 OUTDIR = os.environ.get("R17_OUTDIR", "/tmp/cfnerf_r17")
 LOG = os.environ.get("R17_LOG", "/tmp/r17_runs.log")
-CANDS = (192, 128, 96, 64)
+# env-overridable so follow-on artifacts (EVAL_r23: does the flat-
+# quality window extend below 64?) can reuse the driver + donor
+CANDS = tuple(int(c) for c in os.environ.get(
+    "R17_CANDS", "192,128,96,64").split(","))
 
 BASE = [
     "--outdir", OUTDIR, "--res", "128", "--n_train", "50", "--n_val", "4",
@@ -131,12 +134,13 @@ def main() -> None:
             "infer_rays_per_sec": state.get("speed", {}).get(str(c)),
         }
     state["experiment"] = (
-        "Serving-side placement-candidates A/B (EVAL_r17, VERDICT r03 "
-        "task 4): one occ12-frontier donor checkpoint (W384 N48 K-sched, "
-        "20k, seed 0, 128px AA two-sphere scene) re-evaluated at occ_eval "
-        "16 / floor 0.3 with C in {192,128,96,64} placement candidates, "
-        "against its own dense-N48 eval; speed via same-process "
-        "bench.bench_inference at the 32k-ray serving point."
+        f"Serving-side placement-candidates A/B "
+        f"({os.path.splitext(os.path.basename(OUT))[0]}, VERDICT r03 task "
+        f"4 lineage): one occ12-frontier donor checkpoint (W384 N48 "
+        f"K-sched, 20k, seed 0, 128px AA two-sphere scene) re-evaluated at "
+        f"occ_eval 16 / floor 0.3 with C in {sorted(CANDS)} placement "
+        f"candidates, against its own dense-N48 eval; speed via "
+        f"same-process bench.bench_inference at the 32k-ray serving point."
     )
     state["hardware"] = "1x TPU v5e, fused render core"
     state["dense_reference"] = {k: round(float(dense[k]), 4)
