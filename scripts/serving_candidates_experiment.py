@@ -54,8 +54,18 @@ def run_demo(extra, log_fh, tag):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     t0 = time.time()
-    proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
-                          stderr=subprocess.STDOUT, text=True)
+    try:
+        proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True,
+                              timeout=4200)
+    except subprocess.TimeoutExpired as te:
+        # tunnel-outage guard (round 5: a first-compile hang ate 40 min
+        # at 11s CPU): record and let the resumable driver retry later
+        out = (te.stdout or b"")
+        out = out.decode() if isinstance(out, bytes) else out
+        proc = subprocess.CompletedProcess(
+            cmd, 124, stdout=out + "\n[driver] killed: TimeoutExpired "
+            f"after 4200s (remote_compile tunnel hang?)", stderr=None)
     log_fh.write(f"\n===== {tag} rc={proc.returncode} =====\n")
     log_fh.write(proc.stdout[-8000:])
     log_fh.flush()
