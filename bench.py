@@ -433,26 +433,27 @@ def main():
     # W384 student — quality matched to the dense N48 eval at N=16 placed
     # samples, table + ablations in EVAL_r06.json).  This is the K-sample
     # inference path a deployment would run.
-    # EVAL_r17 (round 5): serving quality is FLAT across placement
-    # candidates C in {64..192} (max |dPSNR| 0.009 dB, NLL identical on the
-    # same checkpoint), and C=64 is 1.17x faster than the C=128 default —
-    # serving benches at C=64.  Train-side keeps C=128 (EVAL_r14/r15: the
-    # coarser grid costs quality there).
+    # EVAL_r17+r23 (round 5): serving quality is FLAT across placement
+    # candidates C in {32..192} (max |dPSNR| 0.024 dB on the same
+    # checkpoint; the ~-0.25 dB offset vs dense is the occ-eval shift,
+    # constant in C), and speed is monotonic in 1/C: C=32 is 1.20x the
+    # C=128 rate — serving benches at C=32.  Train-side keeps C=128
+    # (EVAL_r14/r15/r20: the coarser grid costs quality there).
     if section_fits("serving_point", 110):
         sv_best, sv_cfg, _ = _sweep(
             bench_inference,
-            [dict(batch_size=32768, net_width=384, occ_n=16, occ_candidates=64)],
+            [dict(batch_size=32768, net_width=384, occ_n=16, occ_candidates=32)],
             "serving",
         )
         result["serving_point"] = {
-            "n_samples_placed": 16, "n_candidates": 64, "net_width": 384,
+            "n_samples_placed": 16, "n_candidates": 32, "net_width": 384,
             "impl": "proposal",
             "inference_rays_per_sec": round(sv_best, 1),
             "config": f"infer={sv_cfg}",
             "quality_evidence": (
                 "EVAL_r06.json (matched PSNR/SSIM/AUSE vs dense N48); "
-                "EVAL_r17.json (quality flat across C in {64..192}; C=64 "
-                "fastest quality-equivalent)"),
+                "EVAL_r17.json + EVAL_r23.json (quality flat across C in "
+                "{32..192}; C=32 fastest quality-equivalent)"),
             "vs_north_star": round(sv_best / 1_000_000.0, 4),
             # the serving CURVE (EVAL_r06 measurements, same checkpoint;
             # deltas vs its dense-N48 eval 30.46 dB / 0.9734 / -6.46 nat /

@@ -453,11 +453,13 @@ def aabb_from_scene(scene: dict, args) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def serving_candidates(args) -> int:
-    """Serving-side placement-candidate count: EVAL_r17 measured quality
-    flat across C in {64..192} (max 0.009 dB on the same checkpoint) and
-    C=64 1.17x faster — so --occ_eval_candidates (default 64) governs
-    serving, separate from the train-side --occ_candidates (where coarser
-    grids DO cost quality, EVAL_r14/r15).  0 falls back to the train-side
+    """Serving-side placement-candidate count: EVAL_r17/EVAL_r23 measured
+    quality flat across C in {32..192} (max 0.024 dB on the same
+    checkpoint; the ~-0.25 dB offset vs dense is the occ-eval shift,
+    constant in C) and speed monotonic in 1/C (C=32 1.20x the C=128
+    rate) — so --occ_eval_candidates (default 32) governs serving,
+    separate from the train-side --occ_candidates (where coarser grids
+    DO cost quality, EVAL_r14/r15/r20).  0 falls back to the train-side
     flag."""
     return (int(getattr(args, "occ_eval_candidates", 0) or 0)
             or int(args.occ_candidates))

@@ -196,13 +196,13 @@ def config_parser() -> ConfigArgumentParser:
                              "point; EVAL_r14/r15: coarser grids cost "
                              "quality where gradients flow through "
                              "placement)")
-    parser.add_argument("--occ_eval_candidates", type=int, default=64,
+    parser.add_argument("--occ_eval_candidates", type=int, default=32,
                         help="candidate bins per ray for SERVING-side "
                              "placement (--occ_eval / render_only): "
-                             "EVAL_r17 measured quality FLAT across C in "
-                             "{64..192} (max 0.009 dB) with C=64 serving "
-                             "1.17x faster than 128 — 64 is the default; "
-                             "0 falls back to --occ_candidates")
+                             "EVAL_r17+r23 measured quality FLAT across C "
+                             "in {32..192} (max 0.024 dB) with C=32 "
+                             "serving 1.20x faster than 128 — 32 is the "
+                             "default; 0 falls back to --occ_candidates")
     parser.add_argument("--occ_floor", type=float, default=0.3,
                         help="uniform mixture mass in the placement pdf: "
                              "free-space coverage for the composite and the "

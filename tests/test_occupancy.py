@@ -267,7 +267,7 @@ def test_density_fn_and_wrapper_in_lax_map():
 
 
 def test_serving_candidates_resolution():
-    """EVAL_r17 (round 5): serving defaults to C=64 via
+    """EVAL_r17/EVAL_r23 (round 5): serving defaults to C=32 via
     --occ_eval_candidates, independent of the train-side --occ_candidates;
     0 falls back to the train-side flag; legacy args objects without the
     attribute fall back too."""
@@ -278,7 +278,7 @@ def test_serving_candidates_resolution():
 
     args = parse_args(["--datadir", "x", "--expname", "e"])
     assert args.occ_candidates == 128        # train-side default
-    assert serving_candidates(args) == 64    # serving default (EVAL_r17)
+    assert serving_candidates(args) == 32    # serving default (EVAL_r17/r23)
 
     args = parse_args(["--datadir", "x", "--expname", "e",
                        "--occ_eval_candidates", "96"])
